@@ -1,0 +1,284 @@
+"""Dense padded dataset + batch feed (the reference's AromaticDataset, array-first).
+
+Key TPU-first changes vs reference data/aromatic_dataloader.py:45-335:
+
+- **One-shot vectorized preprocessing with a consolidated .npz cache** instead
+  of per-item torch.load files + 32 DataLoader workers: every molecule is
+  converted to fixed-shape arrays once; epochs are pure numpy slicing
+  (zero per-item Python in steady state).
+- **Static shapes everywhere**: [M, Nmax, ...] padded arrays. Orientation
+  ('hetro') mode stores *all* orientation candidates padded to a static axis
+  and samples one per epoch on the host — reproducing the reference's
+  per-__getitem__ random orientation pick (aromatic_dataloader.py:189) without
+  per-item Python.
+- **Edge masks are not stored or shipped**: they are a deterministic function
+  of node counts, rebuilt on device by gaudi_tpu.core.masked.build_masks. The
+  host->device transfer per batch is x, h, node_mask, y only.
+
+Split semantics match the reference exactly (get_splits,
+aromatic_dataloader.py:274-294): test = df.sample(frac=0.1, rs=42), then
+val = remainder.sample(frac=0.1, rs=42), train = rest; target mean/std are
+computed from the *unfiltered* train dataframe (aromatic_dataloader.py:71-84).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from gaudi_tpu.data.mol import load_xyz
+from gaudi_tpu.data.rings import ATOMS_LIST, RINGS_LIST, extract_ring_graph
+
+MAX_ORIENT = 4  # max orientation candidates per ring (>=2 hetero atoms rare)
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    """Mirrors the data-relevant args of Args_EDM / PredictionArgs."""
+
+    dataset: str = "cata"  # cata | peri | hetro
+    csv_file: str = ""
+    xyz_root: str = ""
+    max_nodes: int = 11
+    target_features: str = "GAP_eV"  # comma-separated
+    normalize: bool = True
+    sample_rate: float = 1.0
+    cache_dir: str = ""  # defaults to xyz_root + "_tpu_cache"
+
+    @property
+    def targets(self) -> list:
+        return [t for t in self.target_features.split(",") if t] if self.target_features else []
+
+    @property
+    def orientation(self) -> bool:
+        return self.dataset != "cata"
+
+
+def get_splits(cfg: DatasetConfig, random_seed=42, val_frac=0.1, test_frac=0.1):
+    """80/10/10 split with the reference's exact sampling order."""
+    df = pd.read_csv(cfg.csv_file)
+    if "nRings" in df.columns:
+        df = df.rename(columns={"nRings": "n_rings", "name": "molecule"})
+    df_all = df.copy()
+    df_test = df.sample(frac=test_frac, random_state=random_seed)
+    df = df.drop(df_test.index)
+    df_val = df.sample(frac=val_frac, random_state=random_seed)
+    df_train = df.drop(df_val.index)
+    return df_train, df_val, df_test, df_all
+
+
+def _preprocess_split(
+    cfg: DatasetConfig, df: pd.DataFrame, cache_path: str
+) -> dict:
+    """Ring-extract every molecule of a split into consolidated arrays."""
+    if os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            return {k: z[k] for k in z.files}
+
+    names = RINGS_LIST[cfg.dataset]
+    k = len(names)
+    n_max = cfg.max_nodes
+    rows = df.reset_index(drop=True)
+    m = len(rows)
+
+    x = np.zeros((m, n_max, 3), np.float32)
+    types = np.zeros((m, n_max), np.int32)
+    n_nodes = np.zeros((m,), np.int32)
+    orient = np.zeros((m, n_max, MAX_ORIENT, 3), np.float32)
+    orient_count = np.zeros((m, n_max), np.int32)
+    y = np.zeros((m, max(len(cfg.targets), 1)), np.float32)
+    keep = np.ones((m,), bool)
+
+    for i in range(m):
+        row = rows.loc[i]
+        path = os.path.join(cfg.xyz_root, str(row["molecule"]) + ".xyz")
+        try:
+            rg = extract_ring_graph(load_xyz(path), cfg.dataset)
+        except (ValueError, FileNotFoundError):
+            keep[i] = False
+            continue
+        r = rg.n_rings
+        if r > n_max or r == 0:
+            keep[i] = False
+            continue
+        x[i, :r] = rg.centers
+        types[i, :r] = rg.ring_types
+        n_nodes[i] = r
+        for j, o in enumerate(rg.orientations):
+            c = min(o.shape[0], MAX_ORIENT)
+            orient[i, j, :c] = o[:c]
+            orient_count[i, j] = c
+        if cfg.targets:
+            y[i] = np.asarray(
+                [row[t] for t in cfg.targets], np.float32
+            )
+
+    data = {
+        "x": x[keep],
+        "types": types[keep],
+        "n_nodes": n_nodes[keep],
+        "orient": orient[keep],
+        "orient_count": orient_count[keep],
+        "y": y[keep],
+        "n_classes": np.array(k),
+    }
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    np.savez_compressed(cache_path, **data)
+    return data
+
+
+class AromaticDataset:
+    """One split of padded dense ring graphs, numpy-resident.
+
+    Batch layout (matching the model conventions):
+      x          [B, N', 3]   CoM-uncentered ring coordinates
+      node_mask  [B, N', 1]
+      edge_mask  [B, N', N']
+      h          [B, N', K]   one-hot ring types (+orientation class in hetro)
+      y          [B, T]       (normalized when cfg.normalize)
+    with N' = max_nodes (cata) or 2*max_nodes (hetro orientation mode).
+    """
+
+    def __init__(
+        self,
+        cfg: DatasetConfig,
+        df: pd.DataFrame,
+        mean: Optional[np.ndarray] = None,
+        std: Optional[np.ndarray] = None,
+        task: str = "train",
+    ):
+        self.cfg = cfg
+        self.task = task
+        df = df[df.n_rings <= cfg.max_nodes].reset_index(drop=True)
+        self.df = df
+
+        cache_dir = cfg.cache_dir or (cfg.xyz_root.rstrip("/") + "_tpu_cache")
+        sig = hashlib.md5(
+            f"{cfg.csv_file}|{cfg.dataset}|{cfg.max_nodes}|{cfg.target_features}|"
+            f"{len(df)}|{task}".encode()
+        ).hexdigest()[:12]
+        self.data = _preprocess_split(
+            cfg, df, os.path.join(cache_dir, f"{task}_{sig}.npz")
+        )
+
+        t = max(len(cfg.targets), 1)
+        if cfg.normalize and mean is not None:
+            self.mean, self.std = mean, std
+        else:
+            self.mean = np.zeros(t, np.float32)
+            self.std = np.ones(t, np.float32)
+
+        m = self.data["x"].shape[0]
+        self.examples = np.arange(m)
+        if cfg.sample_rate < 1:
+            n_keep = round(m * cfg.sample_rate)
+            self.examples = np.random.default_rng(0).permutation(m)[:n_keep]
+
+        self.n_classes = int(self.data["n_classes"])
+        self.num_node_features = self.n_classes
+        self.num_targets = t
+
+    def __len__(self) -> int:
+        return len(self.examples)
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.cfg.max_nodes * (2 if self.cfg.orientation else 1)
+
+    def rescale_loss(self, loss):
+        """Normalized-unit loss -> original units (dataloader.py:109-113)."""
+        return loss * float(self.std.mean()) if self.cfg.normalize else loss
+
+    def collate(self, idx: np.ndarray, rng: Optional[np.random.Generator] = None):
+        """Assemble a batch dict for the given example rows (vectorized)."""
+        d = self.data
+        n_max = self.cfg.max_nodes
+        k = self.n_classes
+        x = d["x"][idx]
+        types = d["types"][idx]
+        n = d["n_nodes"][idx]
+        b = len(idx)
+
+        node_mask = (np.arange(n_max)[None, :] < n[:, None]).astype(np.float32)
+        h = np.eye(k, dtype=np.float32)[types] * node_mask[..., None]
+
+        y = d["y"][idx]
+        if self.cfg.normalize and self.cfg.targets:
+            y = (y - self.mean) / self.std
+
+        if self.cfg.orientation:
+            rng = rng or np.random.default_rng(0)
+            cnt = d["orient_count"][idx]  # [B, N]
+            pick = (rng.random(cnt.shape) * np.maximum(cnt, 1)).astype(np.int64)
+            ox = np.take_along_axis(
+                d["orient"][idx], pick[..., None, None], axis=2
+            )[:, :, 0]  # [B, N, 3]
+            x_full = np.concatenate([x, ox * node_mask[..., None]], axis=1)
+            node_mask_full = np.concatenate([node_mask, node_mask], axis=1)
+            h_full = np.zeros((b, 2 * n_max, k), np.float32)
+            h_full[:, :n_max] = h
+            # orientation pseudo-nodes carry the last ring-type class
+            h_full[:, n_max:, -1] = node_mask
+            return {
+                "x": x_full,
+                "h": h_full,
+                "node_mask": node_mask_full[..., None],
+                "n_nodes": n,
+                "y": y,
+            }
+        return {
+            "x": x,
+            "h": h,
+            "node_mask": node_mask[..., None],
+            "n_nodes": n,
+            "y": y,
+        }
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        rng: Optional[np.random.Generator] = None,
+        drop_last: bool = False,
+    ):
+        """Yield batch dicts; final partial batch is padded by repetition to
+        keep shapes static (mask-correct: repeated examples are real data,
+        callers average with the `weight` entry)."""
+        rng = rng or np.random.default_rng(0)
+        order = self.examples.copy()
+        if shuffle:
+            rng.shuffle(order)
+        m = len(order)
+        for s in range(0, m, batch_size):
+            idx = order[s : s + batch_size]
+            weight = np.ones(batch_size, np.float32)
+            if len(idx) < batch_size:
+                if drop_last:
+                    return
+                pad = batch_size - len(idx)
+                weight[len(idx) :] = 0.0
+                idx = np.concatenate([idx, order[:pad]])
+            batch = self.collate(idx, rng)
+            batch["weight"] = weight
+            yield batch
+
+
+def create_datasets(cfg: DatasetConfig):
+    """(train, val, test) AromaticDatasets with shared train-split stats."""
+    df_train, df_val, df_test, _ = get_splits(cfg)
+    if cfg.normalize and cfg.targets:
+        vals = df_train[cfg.targets].values
+        mean = vals.mean(0).astype(np.float32)
+        std = vals.std(0).astype(np.float32)
+    else:
+        mean = std = None
+    return (
+        AromaticDataset(cfg, df_train, mean, std, "train"),
+        AromaticDataset(cfg, df_val, mean, std, "val"),
+        AromaticDataset(cfg, df_test, mean, std, "test"),
+    )

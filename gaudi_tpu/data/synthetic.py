@@ -1,0 +1,314 @@
+"""Synthetic aromatic datasets in the reference's on-disk format.
+
+The reference trains on COMPAS-1x / PASs CSV+xyz files that are not shipped
+with the code (hardcoded absolute paths, reference data/aromatic_dataloader.py:
+253-271). This module generates drop-in substitutes so the full pipeline —
+xyz parsing, covalent-radius bonding, cycle-basis ring extraction, training,
+evaluation — runs end-to-end without the original data:
+
+- cata-condensed polybenzenoid hydrocarbons (cc-PBHs) grown as triangle-free
+  connected patches of the hexagon lattice (triangle of ring centers ==
+  peri-fusion, which the cata dataset excludes);
+- optional heteroatom substitution (N/B) producing 6-membered hetero rings
+  (Bn/Pd/Pz/Bz/Db/DhDb subset of the PASs vocabulary) for orientation-mode
+  ('hetro') pipelines;
+- electronic-structure targets from a Hueckel tight-binding model on the
+  carbon skeleton (adjacency eigenvalues; GAP = (e_LUMO - e_HOMO)*|beta|),
+  which reproduces the physically correct trends (e.g. linear acenes have
+  smaller gaps) so property prediction and guidance have real signal.
+
+Geometry: C-C bond 1.412 A => ring-center spacing 2.4457 A, inside the
+reference's Bn-Bn stability window (2.42..2.48, utils/helpers.py:155-157).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from gaudi_tpu.data.mol import Molecule, save_xyz
+
+BOND_CC = 1.412
+RING_SPACING = BOND_CC * np.sqrt(3.0)
+BOND_CH = 1.09
+HUCKEL_BETA_EV = 2.7
+
+# Triangular-lattice axial directions for hexagon centers.
+_AXIAL_DIRS = [(1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)]
+
+
+def _axial_to_xy(q: int, r: int) -> np.ndarray:
+    return np.array(
+        [RING_SPACING * (q + 0.5 * r), RING_SPACING * (np.sqrt(3.0) / 2.0) * r]
+    )
+
+
+def _grow_cata_patch(rng: np.random.Generator, n_rings: int, max_tries: int = 200):
+    """Random triangle-free connected patch of `n_rings` hexagon cells."""
+    for _ in range(max_tries):
+        cells = {(0, 0)}
+        frontier = list(_AXIAL_DIRS)
+        ok = True
+        while len(cells) < n_rings:
+            candidates = []
+            for (q, r) in cells:
+                for dq, dr in _AXIAL_DIRS:
+                    c = (q + dq, r + dr)
+                    if c in cells:
+                        continue
+                    # triangle-free: no two existing neighbors of c adjacent
+                    neigh = [
+                        (c[0] + dq2, c[1] + dr2)
+                        for dq2, dr2 in _AXIAL_DIRS
+                        if (c[0] + dq2, c[1] + dr2) in cells
+                    ]
+                    tri = False
+                    for i in range(len(neigh)):
+                        for j in range(i + 1, len(neigh)):
+                            dd = (
+                                neigh[i][0] - neigh[j][0],
+                                neigh[i][1] - neigh[j][1],
+                            )
+                            if dd in _AXIAL_DIRS:
+                                tri = True
+                    if not tri:
+                        candidates.append(c)
+            if not candidates:
+                ok = False
+                break
+            cells.add(tuple(candidates[rng.integers(len(candidates))]))
+        if ok:
+            return sorted(cells)
+    raise RuntimeError(f"could not grow cata patch of {n_rings} rings")
+    del frontier  # unused; growth is global-candidate based
+
+
+def _patch_to_molecule(
+    cells, hetero_plan=None
+) -> Molecule:
+    """Hexagon cells -> atoms (C skeleton + rim H), optional substitutions.
+
+    hetero_plan: optional {cell_index: (ring_type, positions)} where positions
+    are vertex slots (0..5) to substitute and ring_type picks the element.
+    """
+    # Unique vertices: each hexagon's 6 vertices at angles 30 + 60k.
+    verts = {}
+    cell_vertices = []
+    for (q, r) in cells:
+        center = _axial_to_xy(q, r)
+        idxs = []
+        for k in range(6):
+            ang = np.deg2rad(30.0 + 60.0 * k)
+            p = center + BOND_CC * np.array([np.cos(ang), np.sin(ang)])
+            key = (round(p[0] / 1e-3), round(p[1] / 1e-3))
+            if key not in verts:
+                verts[key] = [len(verts), p]
+            idxs.append(verts[key][0])
+        cell_vertices.append(idxs)
+
+    n = len(verts)
+    coords2 = np.zeros((n, 2))
+    for _, (i, p) in verts.items():
+        coords2[i] = p
+    elements = ["C"] * n
+
+    if hetero_plan:
+        for ci, (elem, slots) in hetero_plan.items():
+            for s in slots:
+                elements[cell_vertices[ci][s]] = elem
+
+    # Carbon-skeleton bonds: vertices at distance ~BOND_CC.
+    d = np.linalg.norm(coords2[:, None, :] - coords2[None, :, :], axis=-1)
+    adj = (np.abs(d - BOND_CC) < 0.05).astype(np.int8)
+    np.fill_diagonal(adj, 0)
+
+    # Rim decoration: degree-2 heavy atoms get one H pointing outward
+    # (boron rim atoms get H too -> DhDb semantics).
+    coords = [np.array([p[0], p[1], 0.0]) for p in coords2]
+    for i in range(n):
+        deg = int(adj[i].sum())
+        if deg == 2 and elements[i] in ("C", "B"):
+            neighbors = np.nonzero(adj[i])[0]
+            out = coords2[i] - coords2[neighbors].mean(axis=0)
+            out = out / (np.linalg.norm(out) + 1e-12)
+            hpos = coords2[i] + BOND_CH * out
+            coords.append(np.array([hpos[0], hpos[1], 0.0]))
+            elements.append("H")
+
+    return Molecule(elements, np.stack(coords))
+
+
+def _huckel_targets(mol: Molecule, rng: np.random.Generator) -> dict:
+    """Tight-binding eigen-spectrum -> HOMO/LUMO/GAP/aIP/aEA/Erel targets.
+
+    Hueckel model over the heavy-atom pi system; on-site energies (alpha,
+    units of beta) roughly encode electronegativity differences.
+    """
+    on_site = {"C": 0.0, "N": 0.5, "B": -0.45, "O": 1.0, "S": 0.6}
+    heavy = [i for i, e in enumerate(mol.elements) if e != "H"]
+    coords = mol.coords[heavy]
+    elems = [mol.elements[i] for i in heavy]
+    d = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
+    h = (np.abs(d - BOND_CC) < 0.08).astype(np.float64)
+    np.fill_diagonal(h, 0.0)
+    h += np.diag([on_site[e] for e in elems])
+    ev = np.linalg.eigvalsh(h)[::-1]  # descending: bonding first
+
+    # electron count: one pi electron per C/B-ish site, two for N lone-ish —
+    # keep it simple: half filling of the heavy-atom system.
+    n_occ = len(heavy) // 2
+    homo = ev[n_occ - 1] * HUCKEL_BETA_EV - 5.6  # shift to ~PAH HOMO scale
+    lumo = ev[n_occ] * HUCKEL_BETA_EV - 5.6 + 2 * (ev[n_occ - 1] - ev[n_occ]) * 0.0
+    gap = (ev[n_occ - 1] - ev[n_occ]) * HUCKEL_BETA_EV
+    noise = rng.normal(0.0, 0.02, size=4)
+    return {
+        "HOMO_eV": homo + noise[0],
+        "LUMO_eV": lumo + noise[1],
+        "GAP_eV": max(gap + noise[2], 0.01),
+        "Erel_eV": abs(rng.normal(0.0, 0.3)),
+        "aIP_eV": -homo + 1.2 + noise[3],
+        "aEA_eV": lumo + 2.4 + noise[1] * 0.5,
+    }
+
+
+def _is_catafusene(cells, n_rings: int) -> bool:
+    """True iff the patch is a genuine catafusene under planar idealization.
+
+    A cata-condensed patch with a tree dual has exactly V = 4R + 2 unique
+    vertices and E = 5R + 1 lattice-adjacent vertex pairs. Void enclosures
+    (coronene-like, peri) reduce V; helicene/fjord closures (where rim atoms
+    of non-adjacent rings land on adjacent lattice vertices) raise E. Both
+    are invisible to the dual triangle-free test, so check the skeleton.
+    """
+    verts = set()
+    for (q, r) in cells:
+        center = _axial_to_xy(q, r)
+        for k in range(6):
+            ang = np.deg2rad(30.0 + 60.0 * k)
+            p = center + BOND_CC * np.array([np.cos(ang), np.sin(ang)])
+            verts.add((round(p[0] / 1e-3), round(p[1] / 1e-3)))
+    if len(verts) != 4 * n_rings + 2:
+        return False
+    pts = np.array(sorted(verts), np.float64) * 1e-3
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    n_edges = int((np.abs(d - BOND_CC) < 0.05).sum()) // 2
+    return n_edges == 5 * n_rings + 1
+
+
+def _cell_vertex_keys(cells):
+    """Per-cell list of 6 vertex keys + global ownership counts."""
+    from collections import Counter
+
+    own = Counter()
+    cell_keys = []
+    for (q, r) in cells:
+        center = _axial_to_xy(q, r)
+        keys = []
+        for k in range(6):
+            ang = np.deg2rad(30.0 + 60.0 * k)
+            p = center + BOND_CC * np.array([np.cos(ang), np.sin(ang)])
+            keys.append((round(p[0] / 1e-3), round(p[1] / 1e-3)))
+        cell_keys.append(keys)
+        own.update(keys)
+    return cell_keys, own
+
+
+# (needed N/B substitutions, para-pair?) per 6-membered hetero ring type.
+_HETERO_CHOICES = [
+    ("Pd", "N", 1),
+    ("Pz", "N", 2),
+    ("Bz", "B", 1),
+    ("Db", "B", 2),
+]
+
+
+def _plan_hetero(cells, rng: np.random.Generator, hetero_prob: float):
+    """Substitution plan touching only ring-exclusive (rim) vertices.
+
+    Shared fusion atoms must stay carbon or the neighbor ring's composition
+    leaves the RINGS_DICT vocabulary. Two-atom types (Pz/Db) use para slots
+    (k, k+3), both of which must be exclusive to the ring.
+    """
+    cell_keys, own = _cell_vertex_keys(cells)
+    plan = {}
+    for ci, keys in enumerate(cell_keys):
+        if rng.random() >= hetero_prob:
+            continue
+        free = [s for s in range(6) if own[keys[s]] == 1]
+        options = []
+        for tname, elem, count in _HETERO_CHOICES:
+            if count == 1 and free:
+                options.append((elem, (int(rng.choice(free)),)))
+            elif count == 2:
+                pairs = [
+                    (s, (s + 3) % 6)
+                    for s in range(6)
+                    if s in free and (s + 3) % 6 in free and s < (s + 3) % 6
+                ]
+                if pairs:
+                    options.append((elem, pairs[int(rng.integers(len(pairs)))]))
+        if options:
+            plan[ci] = options[int(rng.integers(len(options)))]
+    return plan
+
+
+def generate_dataset(
+    root: str,
+    dataset: str = "cata",
+    n_molecules: int = 512,
+    min_rings: int = 2,
+    max_rings: int = 11,
+    seed: int = 0,
+    hetero_prob: float = 0.35,
+) -> str:
+    """Write <root>/<dataset>.csv + <root>/<dataset>-xyz/*.xyz; returns csv path.
+
+    Ring-count distribution is skewed towards max_rings like the real
+    COMPAS histograms (utils/helpers.py:64-96).
+    """
+    rng = np.random.default_rng(seed)
+    xyz_dir = os.path.join(root, f"{dataset}-xyz")
+    os.makedirs(xyz_dir, exist_ok=True)
+
+    if dataset == "hetro":
+        max_rings = min(max_rings, 10)
+
+    counts = np.arange(min_rings, max_rings + 1)
+    probs = np.exp(0.55 * counts)
+    probs /= probs.sum()
+
+    rows = []
+    seen = set()
+    i = 0
+    while len(rows) < n_molecules:
+        n_rings = int(rng.choice(counts, p=probs))
+        cells = _grow_cata_patch(rng, n_rings)
+        if not _is_catafusene(cells, n_rings):
+            # planar-helicene fjord closure or void enclosure — the planar
+            # idealization cannot represent these (real ones are nonplanar);
+            # draw another patch.
+            continue
+        name = f"{dataset}_{i:06d}"
+        i += 1
+
+        hetero_plan = {}
+        if dataset == "hetro":
+            hetero_plan = _plan_hetero(cells, rng, hetero_prob)
+        mol = _patch_to_molecule(cells, hetero_plan or None)
+
+        canon = (tuple(cells), tuple(sorted(hetero_plan.items())))
+        if canon in seen:
+            continue
+        seen.add(canon)
+
+        save_xyz(os.path.join(xyz_dir, name + ".xyz"), mol, comment=name)
+        row = {"molecule": name, "n_rings": n_rings}
+        row.update(_huckel_targets(mol, rng))
+        rows.append(row)
+
+    df = pd.DataFrame(rows)
+    csv_path = os.path.join(root, f"{dataset}.csv")
+    df.to_csv(csv_path, index=False)
+    return csv_path

@@ -1,9 +1,14 @@
 """Test config: run JAX on CPU with 8 virtual devices so sharding tests work
-without TPU hardware. Must set env vars before jax is imported anywhere."""
+without TPU hardware.
+
+Note: this environment's sitecustomize registers an 'axon' remote-TPU backend
+and forces jax_platforms='axon,cpu' via jax.config AFTER import — so plain
+JAX_PLATFORMS=cpu env vars are ignored. We must override through jax.config
+once jax is imported (backends are initialized lazily, so this is safe as
+long as no fixture touched a device first)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # This build defaults to reduced matmul precision even on CPU; tests compare
 # against torch/numpy float32, so force full precision.

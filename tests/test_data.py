@@ -1,0 +1,251 @@
+"""Data-layer tests: ring extraction, synthetic datasets, padded batching.
+
+The reference has no tests; its de-facto oracle is "the checker passes on the
+ground-truth dataset" (SURVEY.md §4). We encode that idea directly: extraction
+on hand-built molecules, pipeline invariants on synthetic datasets.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gaudi_tpu.data.dataset import DatasetConfig, create_datasets, get_splits
+from gaudi_tpu.data.distributions import NodesDistribution, PropertyDistribution
+from gaudi_tpu.data.mol import Molecule, connectivity_matrix, load_xyz, save_xyz
+from gaudi_tpu.data.rings import RINGS_LIST, extract_ring_graph
+from gaudi_tpu.data.synthetic import (
+    BOND_CC,
+    RING_SPACING,
+    _grow_cata_patch,
+    _is_catafusene,
+    _patch_to_molecule,
+    generate_dataset,
+)
+
+
+def _benzene() -> Molecule:
+    ang = np.deg2rad(30 + 60 * np.arange(6))
+    coords = np.stack(
+        [BOND_CC * np.cos(ang), BOND_CC * np.sin(ang), np.zeros(6)], axis=1
+    )
+    return Molecule(["C"] * 6, coords)
+
+
+class TestExtraction:
+    def test_benzene_single_ring(self):
+        rg = extract_ring_graph(_benzene(), "cata")
+        assert rg.n_rings == 1
+        np.testing.assert_allclose(rg.centers[0], 0.0, atol=1e-12)
+        assert RINGS_LIST["cata"][rg.ring_types[0]] == "Bn"
+
+    def test_naphthalene_two_adjacent_rings(self):
+        mol = _patch_to_molecule([(0, 0), (1, 0)])
+        rg = extract_ring_graph(mol, "cata")
+        assert rg.n_rings == 2
+        assert rg.adj[0, 1] == 1
+        d = np.linalg.norm(rg.centers[0] - rg.centers[1])
+        np.testing.assert_allclose(d, RING_SPACING, atol=1e-6)
+
+    def test_anthracene_chain_adjacency(self):
+        mol = _patch_to_molecule([(0, 0), (1, 0), (2, 0)])
+        rg = extract_ring_graph(mol, "cata")
+        assert rg.n_rings == 3
+        assert rg.adj.sum() == 4  # path graph: 2 undirected edges
+
+    def test_connectivity_skip_hydrogen(self):
+        mol = _patch_to_molecule([(0, 0)])
+        assert "H" in mol.elements
+        adj = connectivity_matrix(mol, skip_hydrogen=True)
+        h_rows = [i for i, e in enumerate(mol.elements) if e == "H"]
+        assert adj[h_rows].sum() == 0
+
+    def test_xyz_roundtrip(self, tmp_path):
+        mol = _patch_to_molecule([(0, 0), (1, 0)])
+        p = str(tmp_path / "m.xyz")
+        save_xyz(p, mol, "test")
+        back = load_xyz(p)
+        assert back.elements == mol.elements
+        np.testing.assert_allclose(back.coords, mol.coords, atol=1e-5)
+
+    def test_hetero_orientation_atoms(self):
+        # single pyridine-like ring: N at slot 0 -> orientation = N coords
+        mol = _patch_to_molecule([(0, 0)], {0: ("N", (0,))})
+        rg = extract_ring_graph(mol, "hetro")
+        assert rg.n_rings == 1
+        assert RINGS_LIST["hetro"][rg.ring_types[0]] == "Pd"
+        assert rg.orientations[0].shape == (1, 3)
+        # orientation atom is the nitrogen, not the centroid
+        assert np.linalg.norm(rg.orientations[0][0] - rg.centers[0]) > 1.0
+
+
+class TestSynthetic:
+    def test_patch_growth_is_cata(self):
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            cells = _grow_cata_patch(rng, 8)
+            assert len(cells) == 8
+
+    def test_catafusene_invariant_rejects_coronene(self):
+        # 6 cells around an empty center enclose a void -> not catafusene
+        ring6 = [(1, 0), (0, 1), (-1, 1), (-1, 0), (0, -1), (1, -1)]
+        assert not _is_catafusene(ring6, 6)
+
+    def test_catafusene_invariant_accepts_acene(self):
+        assert _is_catafusene([(0, 0), (1, 0), (2, 0)], 3)
+
+    def test_generated_ring_counts_match_csv(self, tmp_path):
+        import pandas as pd
+
+        csv = generate_dataset(str(tmp_path), "cata", n_molecules=20, seed=3)
+        df = pd.read_csv(csv)
+        for _, row in df.iterrows():
+            mol = load_xyz(
+                os.path.join(str(tmp_path), "cata-xyz", row["molecule"] + ".xyz")
+            )
+            rg = extract_ring_graph(mol, "cata")
+            assert rg.n_rings == row["n_rings"]
+
+    def test_huckel_targets_have_acene_trend(self, tmp_path):
+        # longer linear acenes must have smaller Hueckel gaps
+        from gaudi_tpu.data.synthetic import _huckel_targets
+
+        rng = np.random.default_rng(0)
+        gaps = []
+        for n in (2, 4, 6):
+            mol = _patch_to_molecule([(i, 0) for i in range(n)])
+            gaps.append(_huckel_targets(mol, rng)["GAP_eV"])
+        assert gaps[0] > gaps[1] > gaps[2]
+
+
+@pytest.fixture(scope="module")
+def cata_data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cata_ds"))
+    csv = generate_dataset(root, "cata", n_molecules=50, seed=0)
+    cfg = DatasetConfig(
+        dataset="cata",
+        csv_file=csv,
+        xyz_root=os.path.join(root, "cata-xyz"),
+        max_nodes=11,
+        target_features="GAP_eV,HOMO_eV",
+    )
+    return cfg, create_datasets(cfg)
+
+
+class TestDataset:
+    def test_split_sizes_disjoint(self, cata_data):
+        cfg, (tr, va, te) = cata_data
+        d1, d2, d3, dall = get_splits(cfg)
+        assert len(d1) + len(d2) + len(d3) == len(dall)
+        assert set(d1.molecule) & set(d2.molecule) == set()
+        assert set(d1.molecule) & set(d3.molecule) == set()
+
+    def test_batch_shapes_and_masks(self, cata_data):
+        cfg, (tr, _, _) = cata_data
+        b = next(tr.iter_batches(8, rng=np.random.default_rng(0)))
+        assert b["x"].shape == (8, 11, 3)
+        assert b["h"].shape == (8, 11, 1)
+        assert b["node_mask"].shape == (8, 11, 1)
+        nm = b["node_mask"][..., 0]
+        # padded slots must be exactly zero in x and h
+        assert np.abs(b["x"] * (1 - nm[..., None])).max() == 0
+        assert np.abs(b["h"] * (1 - nm[..., None])).max() == 0
+        # h sums to one on real nodes
+        np.testing.assert_allclose(b["h"].sum(-1), nm)
+
+    def test_target_normalization_stats(self, cata_data):
+        cfg, (tr, _, _) = cata_data
+        ys = np.concatenate(
+            [
+                b["y"][b["weight"] > 0]
+                for b in tr.iter_batches(16, shuffle=False)
+            ]
+        )
+        # train targets are ~zero-mean/unit-std under train stats (the stats
+        # come from the unfiltered train df, so only approximately)
+        assert np.abs(ys.mean(0)).max() < 0.3
+        assert np.abs(ys.std(0) - 1.0).max() < 0.3
+
+    def test_partial_batch_padding_weights(self, cata_data):
+        cfg, (tr, _, _) = cata_data
+        batches = list(tr.iter_batches(16, shuffle=False))
+        total = sum(int((b["weight"] > 0).sum()) for b in batches)
+        assert total == len(tr)
+        for b in batches:
+            assert b["x"].shape[0] == 16
+
+    def test_cache_reuse(self, cata_data):
+        cfg, (tr, _, _) = cata_data
+        # second construction must hit the npz cache and produce same data
+        tr2, _, _ = create_datasets(cfg)
+        np.testing.assert_array_equal(tr.data["x"], tr2.data["x"])
+
+
+class TestHetroDataset:
+    def test_orientation_batch_layout(self, tmp_path):
+        root = str(tmp_path)
+        csv = generate_dataset(root, "hetro", n_molecules=25, seed=2)
+        cfg = DatasetConfig(
+            dataset="hetro",
+            csv_file=csv,
+            xyz_root=os.path.join(root, "hetro-xyz"),
+            max_nodes=10,
+            target_features="GAP_eV",
+        )
+        tr, _, _ = create_datasets(cfg)
+        b = next(tr.iter_batches(4, rng=np.random.default_rng(0)))
+        assert b["x"].shape == (4, 20, 3)
+        k = tr.n_classes
+        nm = b["node_mask"][..., 0]
+        n = b["n_nodes"]
+        for i in range(4):
+            # slots [10, 10+n) are orientation nodes with the last class
+            assert (b["h"][i, 10 : 10 + n[i], -1] == 1).all()
+            # ring slots never use the orientation class
+            assert (b["h"][i, : n[i], -1] == 0).all()
+            # alive pattern duplicated
+            np.testing.assert_array_equal(nm[i, :10], nm[i, 10:])
+
+    def test_orientation_resampling_varies(self, tmp_path):
+        # rings with >= 2 hetero candidates should see different picks
+        root = str(tmp_path)
+        csv = generate_dataset(root, "hetro", n_molecules=30, seed=4, hetero_prob=0.9)
+        cfg = DatasetConfig(
+            dataset="hetro",
+            csv_file=csv,
+            xyz_root=os.path.join(root, "hetro-xyz"),
+            max_nodes=10,
+            target_features="GAP_eV",
+        )
+        tr, _, _ = create_datasets(cfg)
+        if (tr.data["orient_count"] >= 2).sum() == 0:
+            pytest.skip("no multi-candidate rings generated")
+        idx = np.arange(min(len(tr), 16))
+        b1 = tr.collate(idx, np.random.default_rng(1))
+        b2 = tr.collate(idx, np.random.default_rng(2))
+        assert not np.allclose(b1["x"], b2["x"])
+
+
+class TestDistributions:
+    def test_nodes_distribution_sampling(self, cata_data):
+        _, (tr, _, _) = cata_data
+        nd = NodesDistribution.from_dataset(tr)
+        s = nd.sample(500, np.random.default_rng(0))
+        assert s.min() >= 1 and s.max() <= 11
+        lp = nd.log_prob(s[:10])
+        assert np.isfinite(lp).all()
+
+    def test_reference_histogram_totals(self):
+        nd = NodesDistribution(dataset="cata")
+        # cata usable set is 27,593 molecules (BASELINE.md)
+        assert int((nd.prob * 27593).round().sum()) == 27593
+
+    def test_property_distribution_range(self, cata_data):
+        _, (tr, _, _) = cata_data
+        pdist = PropertyDistribution(tr)
+        rng = np.random.default_rng(0)
+        vals = pdist.sample_batch(np.array([8, 9, 10]), rng)
+        assert vals.shape == (3, 2)
+        un = pdist.unnormalize(vals)
+        # unnormalized values are in a plausible target range
+        assert np.isfinite(un).all()

@@ -61,13 +61,13 @@ class TestNoiseSchedule:
         gt, gs = ns.gamma(t), ns.gamma(s)
         s2, _, a_ts = NoiseSchedule.sigma_and_alpha_t_given_s(gt, gs)
         np.testing.assert_allclose(
-            float(a_ts * NoiseSchedule.alpha(gs)),
-            float(NoiseSchedule.alpha(gt)),
+            float((a_ts * NoiseSchedule.alpha(gs))[0]),
+            float(NoiseSchedule.alpha(gt)[0]),
             rtol=1e-5,
         )
         np.testing.assert_allclose(
-            float(a_ts**2 * NoiseSchedule.sigma(gs) ** 2 + s2),
-            float(NoiseSchedule.sigma(gt) ** 2),
+            float((a_ts**2 * NoiseSchedule.sigma(gs) ** 2 + s2)[0]),
+            float((NoiseSchedule.sigma(gt) ** 2)[0]),
             rtol=1e-5,
         )
 
