@@ -216,11 +216,14 @@ def _cell_vertex_keys(cells):
 
 
 # (needed N/B substitutions, para-pair?) per 6-membered hetero ring type.
+# Db/DhDb are excluded: rim borons always carry H (-> DhDb) and DhDb has no
+# entry in the empirical ring-distance tables (utils/helpers.py:98-154), so
+# such molecules can never pass the connectivity check — in the reference or
+# here. The generator sticks to table-covered types.
 _HETERO_CHOICES = [
     ("Pd", "N", 1),
     ("Pz", "N", 2),
     ("Bz", "B", 1),
-    ("Db", "B", 2),
 ]
 
 

@@ -1,0 +1,120 @@
+"""Chemical validity without RDKit: valence accounting + Kekule matching.
+
+The reference pipes generated atom graphs through vendored xyz2mol
+(data/xyz2mol.py:538-679, valence enumeration over bond orders) plus RDKit
+sanitization (data/gor2goa.py:298-324). Neither RDKit nor its InChI machinery
+is available in this image, so validity is decided by the equivalent
+graph-theoretic criterion for the neutral aromatic systems at hand:
+
+1. implicit hydrogens: every degree-2 carbon gets one H (the reference adds
+   them explicitly before xyz2mol, gor2goa.py:288-293);
+2. every atom's remaining valence (allowed valence - sigma degree) must be
+   0 or 1;
+3. the atoms with remaining valence 1 must admit a perfect matching within
+   the bond graph (a Kekule structure: each leftover valence saturated by
+   one double bond). This is exactly the neutral, charge-free core of
+   xyz2mol's AC2BO search.
+4. single connected fragment (reference GetMolFrags check, gor2goa.py:315).
+
+Identity for uniqueness/novelty is a Weisfeiler-Lehman graph hash with
+element+implicit-H node labels — a canonical-form stand-in for InChI. When
+RDKit *is* importable, metrics.py upgrades to real InChIs automatically.
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+
+from gaudi_tpu.data.periodic import ATOM_VALENCES
+from gaudi_tpu.data.rings import ATOMS_LIST
+
+
+def _build_graph(atom_types, bonds, dataset: str) -> nx.Graph:
+    """Atom-index graph with element labels + implicit H counts."""
+    symbols = [ATOMS_LIST[dataset][int(t)] for t in atom_types]
+    g = nx.Graph()
+    for i, s in enumerate(symbols):
+        g.add_node(i, element=s)
+    for a, b in bonds:
+        g.add_edge(int(a), int(b))
+    # implicit H on degree-2 carbons (reference build_molecule_aromatic,
+    # gor2goa.py:288-293)
+    for i, s in enumerate(symbols):
+        h = 0
+        if s == "C" and g.degree(i) == 2:
+            h = 1
+        g.nodes[i]["implicit_h"] = h
+    return g
+
+
+def valence_valid(atom_types, bonds, dataset: str = "cata") -> bool:
+    """True iff the atom graph is a chemically valid neutral molecule."""
+    if len(atom_types) == 0 or len(bonds) == 0:
+        return False
+    g = _build_graph(atom_types, bonds, dataset)
+    if not nx.is_connected(g):
+        return False
+
+    needs_pi = []
+    for i in g.nodes:
+        s = g.nodes[i]["element"]
+        sigma = g.degree(i) + g.nodes[i]["implicit_h"]
+        allowed = ATOM_VALENCES.get(s)
+        if allowed is None:
+            return False
+        rem = min(allowed) - sigma
+        if rem < 0 or rem > 1:
+            return False
+        if rem == 1:
+            needs_pi.append(i)
+
+    if not needs_pi:
+        return True
+    if len(needs_pi) % 2 == 1:
+        return False
+    sub = g.subgraph(needs_pi)
+    matching = nx.max_weight_matching(sub, maxcardinality=True)
+    return 2 * len(matching) == len(needs_pi)
+
+
+def molecule_hash(atom_types, bonds, dataset: str = "cata") -> str:
+    """Canonical identity string (WL hash over element/implicit-H labels)."""
+    g = _build_graph(atom_types, bonds, dataset)
+    for i in g.nodes:
+        g.nodes[i]["label"] = f"{g.nodes[i]['element']}H{g.nodes[i]['implicit_h']}"
+    return nx.weisfeiler_lehman_graph_hash(g, node_attr="label", iterations=4)
+
+
+def try_rdkit_inchi(atom_types, bonds, dataset: str = "cata"):
+    """InChI via RDKit when importable; None if RDKit is absent or fails.
+
+    Mirrors reference rdkit_valid (gor2goa.py:298-324): build an RWMol with
+    single bonds + explicit H on degree-2 carbons, infer bond orders, and
+    sanitize; single-fragment requirement included.
+    """
+    try:
+        from rdkit import Chem
+    except ImportError:
+        return None
+    try:
+        symbols = [ATOMS_LIST[dataset][int(t)] for t in atom_types]
+        mol = Chem.RWMol()
+        for s in symbols:
+            mol.AddAtom(Chem.Atom(s))
+        deg = np.zeros(len(symbols), np.int64)
+        for a, b in bonds:
+            mol.AddBond(int(a), int(b), Chem.rdchem.BondType.AROMATIC)
+            deg[int(a)] += 1
+            deg[int(b)] += 1
+        for i, s in enumerate(symbols):
+            if s == "C" and deg[i] == 2:
+                h = mol.AddAtom(Chem.Atom("H"))
+                mol.AddBond(i, h, Chem.rdchem.BondType.SINGLE)
+        m = mol.GetMol()
+        Chem.SanitizeMol(m)
+        if len(Chem.GetMolFrags(m, asMols=True)) != 1:
+            return None
+        return Chem.MolToInchi(m)
+    except Exception:
+        return None
