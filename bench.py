@@ -1,0 +1,104 @@
+"""Headline benchmark: guided-generation throughput (molecules/second).
+
+Reproduces the reference's flagship workload (generation_guidance.py:
+batch=512, scale=0.6, n_nodes=10, T=1000 reverse steps, each step = one
+EDM denoiser forward + one predictor forward+backward) with full-size
+networks (EDM 9x192, predictor 12x196) and measures end-to-end device
+throughput after compilation.
+
+Prints ONE JSON line:
+    {"metric": "guided_mol_per_s", "value": V, "unit": "mol/s",
+     "vs_baseline": V / 16.67}
+vs_baseline is relative to the north-star rate of 1,000 guided molecules
+per minute (BASELINE.json target for a TPU v4-8).
+
+Env knobs: GAUDI_BENCH_BATCH (default 512), GAUDI_BENCH_T (default 1000),
+GAUDI_BENCH_PLATFORM (force a JAX platform, e.g. cpu).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+
+    platform = os.environ.get("GAUDI_BENCH_PLATFORM", "")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    import jax.numpy as jnp
+
+    from gaudi_tpu.core import masked as M
+    from gaudi_tpu.diffusion.edm import EDM
+    from gaudi_tpu.diffusion.schedule import NoiseSchedule
+    from gaudi_tpu.models.egnn import EGNNDynamics
+    from gaudi_tpu.models.predictor import EGNNPredictor
+
+    batch = int(os.environ.get("GAUDI_BENCH_BATCH", 512))
+    timesteps = int(os.environ.get("GAUDI_BENCH_T", 1000))
+    max_nodes, n_nodes, in_nf, n_targets = 11, 10, 1, 2
+
+    dynamics = EGNNDynamics(in_node_nf=in_nf, hidden_nf=192, n_layers=9)
+    predictor = EGNNPredictor(
+        in_nf=in_nf, out_nf=n_targets, hidden_nf=196, n_layers=12
+    )
+    edm = EDM(
+        apply_fn=dynamics.apply,
+        schedule=NoiseSchedule.create("polynomial_2", timesteps),
+        in_node_nf=in_nf,
+    )
+
+    key = jax.random.PRNGKey(0)
+    counts = jnp.full((batch,), n_nodes, jnp.int32)
+    node_mask, edge_mask = M.build_masks(counts, max_nodes)
+    zdum = M.sample_combined_noise(key, batch, max_nodes, 3, in_nf, node_mask)
+    params = dynamics.init(key, jnp.zeros((batch, 1)), zdum, node_mask, edge_mask)
+    pred_params = predictor.init(
+        key, zdum, node_mask, edge_mask, jnp.zeros((batch, 1))
+    )
+
+    def target_fn(zt, nm, em, t):
+        return predictor.apply(pred_params, zt, nm, em, t)[:, 0]
+
+    @jax.jit
+    def run(params, key):
+        return edm.sample_guidance(
+            params, key, target_fn, node_mask, edge_mask, scale=0.6, std=1.0
+        )
+
+    # compile + warm up
+    x, h = run(params, key)
+    jax.block_until_ready(x)
+
+    t0 = time.time()
+    x, h = run(params, jax.random.PRNGKey(1))
+    jax.block_until_ready(x)
+    secs = time.time() - t0
+
+    mol_per_s = batch / secs
+    north_star = 1000.0 / 60.0
+    print(
+        json.dumps(
+            {
+                "metric": "guided_mol_per_s",
+                "value": round(mol_per_s, 3),
+                "unit": "mol/s",
+                "vs_baseline": round(mol_per_s / north_star, 3),
+            }
+        )
+    )
+    # context to stderr so stdout stays one JSON line
+    print(
+        f"[bench] batch={batch} T={timesteps} devices={jax.devices()} "
+        f"wall={secs:.2f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Shared CLI plumbing: platform selection, data resolution, model loading."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def setup_platform(platform: str = ""):
+    """Optionally force the JAX platform (cpu for debugging).
+
+    Note: on machines where a sitecustomize force-registers a TPU backend
+    via jax.config, env vars are ignored — jax.config.update is the only
+    reliable override.
+    """
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    return jax
+
+
+def resolve_data(args) -> tuple[str, str]:
+    """(csv_file, xyz_root) for the requested dataset.
+
+    Unlike the reference's hardcoded absolute paths
+    (data/aromatic_dataloader.py:253-271), data roots come from --data-root
+    (default ./data); --synthetic generates a stand-in dataset there when
+    the CSV is missing.
+    """
+    csv_file = args.csv_file or os.path.join(args.data_root, f"{args.dataset}.csv")
+    xyz_root = args.xyz_root or os.path.join(args.data_root, f"{args.dataset}-xyz")
+    if not os.path.exists(csv_file):
+        if getattr(args, "synthetic", 0):
+            from gaudi_tpu.data.synthetic import generate_dataset
+
+            os.makedirs(args.data_root, exist_ok=True)
+            print(f"generating synthetic {args.dataset} dataset ({args.synthetic} molecules)...")
+            generate_dataset(
+                args.data_root, args.dataset, n_molecules=args.synthetic, seed=0
+            )
+        else:
+            raise FileNotFoundError(
+                f"{csv_file} not found; pass --csv-file/--xyz-root or --synthetic N"
+            )
+    return csv_file, xyz_root
+
+
+def add_data_args(p: argparse.ArgumentParser):
+    p.add_argument("--dataset", default="cata", choices=["cata", "peri", "hetro"])
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--csv-file", default="")
+    p.add_argument("--xyz-root", default="")
+    p.add_argument(
+        "--synthetic",
+        type=int,
+        default=0,
+        metavar="N",
+        help="generate a synthetic dataset of N molecules if the CSV is missing",
+    )
+    p.add_argument("--platform", default="", help="force JAX platform (e.g. cpu)")
+
+
+def load_edm_from_dir(exp_dir: str):
+    """Rebuild (cfg, trainer) from an experiment directory (args.json +
+    checkpoint) — the reference's get_edm_args + get_model(restore) workflow
+    (utils/helpers.py:204-213, models_edm.py:100-102)."""
+    from gaudi_tpu.config import EDMConfig
+    from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+    cfg = EDMConfig.load(exp_dir)
+    return cfg, EDMTrainer(cfg)
+
+
+def load_predictor_from_dir(exp_dir: str):
+    from gaudi_tpu.config import PredictorConfig
+    from gaudi_tpu.train.trainer_predictor import PredictorTrainer
+
+    cfg = PredictorConfig.load(exp_dir)
+    return cfg, PredictorTrainer(cfg)

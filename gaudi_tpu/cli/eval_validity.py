@@ -1,0 +1,133 @@
+"""Sample unconditional molecules and report stability/validity metrics.
+
+Usage:
+    python -m gaudi_tpu.cli.eval_validity --exp-dir summary/my-run \
+        --n-samples 1000
+
+Reference counterpart: eval_validity.py (Table-1 reproduction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from gaudi_tpu.cli.common import load_edm_from_dir, setup_platform
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--exp-dir", required=True)
+    p.add_argument("--n-samples", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=0, help="0 = n_samples")
+    p.add_argument("--std", type=float, default=0.7)
+    p.add_argument("--tol", type=float, default=0.1)
+    p.add_argument("--novelty", action="store_true")
+    p.add_argument("--plots", type=int, default=5, help="save N stable/unstable plots")
+    p.add_argument("--chain-gif", action="store_true")
+    p.add_argument("--platform", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-workers", type=int, default=8)
+    return p
+
+
+def sample_molecules(trainer, n_samples, batch_size, std, seed=0):
+    """Returns (molecule list for eval, wall-clock seconds)."""
+    import jax
+
+    from gaudi_tpu.sampling import Sampler, to_molecule_list
+
+    cfg = trainer.cfg
+    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset != "cata")
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    mols = []
+    t0 = time.time()
+    remaining = n_samples
+    while remaining > 0:
+        b = min(batch_size, remaining)
+        counts = trainer.nodes_dist.sample(batch_size, rng)
+        key, sub = jax.random.split(key)
+        x, h, node_mask, _ = sampler.sample(trainer.state.params, sub, counts, std)
+        jax.block_until_ready(x)
+        mols += to_molecule_list(
+            x[:b], h[:b], node_mask[:b],
+            orientation=cfg.dataset != "cata", max_nodes=cfg.max_nodes,
+        )
+        remaining -= b
+    return mols, time.time() - t0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    setup_platform(args.platform)
+
+    from gaudi_tpu.eval_chem import (
+        analyze_chemical_validity_for_molecules,
+        analyze_validity_for_molecules,
+    )
+
+    cfg, trainer = load_edm_from_dir(args.exp_dir)
+    batch = args.batch_size or args.n_samples
+    mols, secs = sample_molecules(trainer, args.n_samples, batch, args.std, args.seed)
+    print(f"sampled {len(mols)} molecules in {secs:.2f}s "
+          f"({len(mols)/secs:.1f} mol/s)")
+
+    t0 = time.time()
+    vd, stable = analyze_validity_for_molecules(mols, tol=args.tol, dataset=cfg.dataset)
+    print("stability:", {k: round(v, 4) for k, v in vd.items()
+                         if k != "molecule_stable_bool"})
+
+    train_ids = None
+    if args.novelty:
+        train_mols = []
+        for b in trainer.train_ds.iter_batches(256, shuffle=False):
+            for i in np.nonzero(b["weight"] > 0)[0]:
+                nn = b["n_nodes"][i]
+                train_mols.append((b["x"][i][:nn], b["h"][i][:nn].argmax(-1)))
+        train_ids = analyze_chemical_validity_for_molecules(
+            train_mols, dataset=cfg.dataset, n_workers=args.eval_workers
+        )["valid_identity"]
+
+    cd = analyze_chemical_validity_for_molecules(
+        mols, tol=args.tol, dataset=cfg.dataset,
+        train_identities=train_ids, n_workers=args.eval_workers,
+    )
+    print("chemistry:", {k: round(v, 4) for k, v in cd.items()
+                         if isinstance(v, float)})
+    print(f"eval wall-clock: {time.time()-t0:.2f}s")
+
+    if args.plots:
+        from gaudi_tpu.utils.plotting import plot_graph_of_rings
+
+        flags = vd["molecule_stable_bool"]
+        stable_idx = [i for i, s in enumerate(flags) if s][: args.plots]
+        unstable_idx = [i for i, s in enumerate(flags) if not s][: args.plots]
+        for tag, idxs in (("stable", stable_idx), ("unstable", unstable_idx)):
+            for i in idxs:
+                plot_graph_of_rings(
+                    mols[i][0], mols[i][1],
+                    filename=f"{args.exp_dir}/eval/{tag}_{i}.png",
+                    dataset=cfg.dataset,
+                )
+
+    if args.chain_gif:
+        import jax
+
+        from gaudi_tpu.sampling import Sampler
+        from gaudi_tpu.utils.plotting import plot_chain
+
+        sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset != "cata")
+        chain = sampler.sample_chain(
+            trainer.state.params, jax.random.PRNGKey(args.seed + 1), std=args.std
+        )
+        plot_chain(np.asarray(chain), f"{args.exp_dir}/eval/chain.gif", cfg.dataset)
+
+    return {"stability": vd, "chemistry": cd, "sampling_seconds": secs}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,197 @@
+"""Classifier-guided inverse design — the flagship pipeline.
+
+Usage:
+    python -m gaudi_tpu.cli.generate \
+        --edm-dir summary/my-run --predictor-dir prediction_summary/my-pred \
+        --batch-size 512 --scale 0.6 --n-nodes 10 --target min:GAP_eV
+
+Targets: `min:FEAT` / `max:FEAT` on any predicted feature, or a weighted
+combination `w1*FEAT1+w2*FEAT2` (always minimized, matching the reference's
+convention where the best molecule has the lowest target value,
+generation_guidance.py:137,159).
+
+Reference counterpart: generation_guidance.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from gaudi_tpu.cli.common import (
+    load_edm_from_dir,
+    load_predictor_from_dir,
+    setup_platform,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--edm-dir", required=True)
+    p.add_argument("--predictor-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--scale", type=float, default=0.6)
+    p.add_argument("--n-nodes", type=int, default=10)
+    p.add_argument("--target", default="min:GAP_eV")
+    p.add_argument("--std", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--out-dir", default="best")
+    p.add_argument("--platform", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-workers", type=int, default=8)
+    return p
+
+
+def make_target_function(spec: str, predictor, pred_params, prop_dist, features):
+    """Build f(z, node_mask, edge_mask, t) -> [B] (minimized by guidance).
+
+    Mirrors the reference's example target closures
+    (generation_guidance.py:200-211): predictor output, optionally
+    unnormalized, combined into a scalar score.
+    """
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(prop_dist.mean)
+    std = jnp.asarray(prop_dist.std)
+
+    def predict(z, node_mask, edge_mask, t):
+        return predictor.apply(pred_params, z, node_mask, edge_mask, t)
+
+    if spec.startswith(("min:", "max:")):
+        mode, feat = spec.split(":", 1)
+        idx = features.index(feat)
+        sign = 1.0 if mode == "min" else -1.0
+
+        def f(z, node_mask, edge_mask, t):
+            return sign * predict(z, node_mask, edge_mask, t)[:, idx]
+
+        return f
+
+    # weighted combination "w1*F1+w2*F2" on unnormalized predictions
+    terms = []
+    for part in spec.replace("-", "+-").split("+"):
+        part = part.strip()
+        if not part:
+            continue
+        if "*" in part:
+            w, feat = part.split("*")
+            terms.append((float(w), features.index(feat.strip())))
+        else:
+            w = -1.0 if part.startswith("-") else 1.0
+            terms.append((w, features.index(part.lstrip("-").strip())))
+
+    def f(z, node_mask, edge_mask, t):
+        pred = predict(z, node_mask, edge_mask, t) * std + mean
+        return sum(w * pred[:, i] for w, i in terms)
+
+    return f
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    setup_platform(args.platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaudi_tpu.eval_chem import analyze_chemical_validity_for_molecules
+    from gaudi_tpu.sampling import Sampler, to_molecule_list
+    from gaudi_tpu.utils.plotting import plot_graph_of_rings
+
+    edm_cfg, edm_trainer = load_edm_from_dir(args.edm_dir)
+    pred_cfg, pred_trainer = load_predictor_from_dir(args.predictor_dir)
+    features = pred_cfg.data_config().targets
+    from gaudi_tpu.data import PropertyDistribution
+
+    prop_dist = PropertyDistribution(pred_trainer.train_ds)
+
+    target_fn = make_target_function(
+        args.target,
+        pred_trainer.model,
+        pred_trainer.state.params,
+        prop_dist,
+        features,
+    )
+
+    orientation = edm_cfg.dataset != "cata"
+    sampler = Sampler(edm_trainer.edm, edm_cfg.max_nodes, orientation)
+    counts = np.full(args.batch_size, args.n_nodes, np.int64)
+    key = jax.random.PRNGKey(args.seed)
+
+    print(f"designing {args.batch_size} molecules "
+          f"(scale={args.scale}, n_nodes={args.n_nodes}, target={args.target})")
+    t0 = time.time()
+    x, h, node_mask, edge_mask = sampler.sample_guidance(
+        edm_trainer.state.params, key, target_fn, counts,
+        scale=args.scale, std=args.std,
+    )
+    jax.block_until_ready(x)
+    gen_secs = time.time() - t0
+    print(f"generated {args.batch_size} molecules in {gen_secs:.2f}s "
+          f"({args.batch_size/gen_secs:.1f} mol/s)")
+
+    # score at t=0 (reference predict/get_target_function_values, :33-66)
+    @jax.jit
+    def score(x, h, node_mask, edge_mask):
+        xs, hs, _ = edm_trainer.edm.normalize(x, h, node_mask)
+        z = jnp.concatenate([xs, hs], axis=-1)
+        t = jnp.zeros((x.shape[0], 1))
+        values = target_fn(z, node_mask, edge_mask, t)
+        pred = pred_trainer.model.apply(
+            pred_trainer.state.params, z, node_mask, edge_mask, t
+        )
+        return values, pred
+
+    values, pred = score(x, h, node_mask, edge_mask)
+    values = np.asarray(values)
+    pred_un = prop_dist.unnormalize(np.asarray(pred))
+    print(f"mean target value: {values.mean():.4f}")
+
+    # validity filter
+    mols = to_molecule_list(x, h, node_mask, orientation, edm_cfg.max_nodes)
+    cd = analyze_chemical_validity_for_molecules(
+        mols, dataset=edm_cfg.dataset, n_workers=args.eval_workers
+    )
+    valid = np.asarray(cd["molecule_valid_bool"])
+    print(f"valid: {valid.mean():.2%} of {len(mols)}")
+    if valid.any():
+        print(f"mean target value (valid): {values[valid].mean():.4f}")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    stamp = time.strftime("%m%d_%H%M%S")
+    run_dir = os.path.join(args.out_dir, f"{stamp}_{args.scale}")
+    os.makedirs(run_dir, exist_ok=True)
+
+    best = int(values.argmin())
+    plot_graph_of_rings(
+        mols[best][0], mols[best][1], f"{run_dir}/all.png",
+        dataset=edm_cfg.dataset,
+        title=f"{values[best]:.3f} | " + ", ".join(f"{v:.2f}" for v in pred_un[best]),
+    )
+
+    valid_order = np.argsort(np.where(valid, values, np.inf))
+    results = []
+    for rank in range(min(args.top_k, int(valid.sum()))):
+        i = int(valid_order[rank])
+        print(f"top-{rank}: target={values[i]:.4f} pred={pred_un[i]}")
+        plot_graph_of_rings(
+            mols[i][0], mols[i][1], f"{run_dir}/{rank}.png",
+            dataset=edm_cfg.dataset,
+            title=f"{values[i]:.3f} | " + ", ".join(f"{v:.2f}" for v in pred_un[i]),
+        )
+        results.append({"target": float(values[i]), "pred": pred_un[i].tolist()})
+
+    return {
+        "gen_seconds": gen_secs,
+        "mol_valid": cd["mol_valid"],
+        "mean_target": float(values.mean()),
+        "top": results,
+        "run_dir": run_dir,
+    }
+
+
+if __name__ == "__main__":
+    main()

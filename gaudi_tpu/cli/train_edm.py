@@ -1,0 +1,80 @@
+"""Train the unconditional E(3) diffusion model.
+
+Usage (synthetic stand-in data):
+    python -m gaudi_tpu.cli.train_edm --dataset cata --synthetic 2000 \
+        --name my-run --epochs 100
+
+Reference counterpart: train_edm.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from gaudi_tpu.cli.common import add_data_args, resolve_data, setup_platform
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_data_args(p)
+    p.add_argument("--name", default="cata-edm")
+    p.add_argument("--save-dir", default="summary")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--n-layers", type=int, default=9)
+    p.add_argument("--nf", type=int, default=192)
+    p.add_argument("--diffusion-steps", type=int, default=1000)
+    p.add_argument("--noise-schedule", default="polynomial_2")
+    p.add_argument("--target-features", default="GAP_eV")
+    p.add_argument("--max-nodes", type=int, default=11)
+    p.add_argument("--restore", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", action="store_true", help="shard the batch over all devices")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    jax = setup_platform(args.platform)
+    csv_file, xyz_root = resolve_data(args)
+
+    from gaudi_tpu.config import EDMConfig
+    from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+    max_nodes = min(args.max_nodes, 10) if args.dataset == "hetro" else args.max_nodes
+    cfg = EDMConfig(
+        dataset=args.dataset,
+        csv_file=csv_file,
+        xyz_root=xyz_root,
+        max_nodes=max_nodes,
+        target_features=args.target_features,
+        name=args.name,
+        save_dir=args.save_dir,
+        num_epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        n_layers=args.n_layers,
+        nf=args.nf,
+        diffusion_steps=args.diffusion_steps,
+        diffusion_noise_schedule=args.noise_schedule,
+        restore=args.restore,
+        seed=args.seed,
+    )
+
+    mesh = None
+    if args.dp and len(jax.devices()) > 1:
+        from gaudi_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        print(f"data-parallel over {mesh.size} devices")
+
+    trainer = EDMTrainer(cfg, mesh=mesh)
+    print(f"experiment dir: {cfg.exp_dir}")
+    result = trainer.fit()
+    print(result)
+    return result
+
+
+if __name__ == "__main__":
+    main()

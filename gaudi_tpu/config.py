@@ -1,0 +1,156 @@
+"""Typed experiment configs with JSON round-trip.
+
+Replaces the reference's argparse-subclass bundles (utils/args_edm.py:4-51,
+cond_prediction/prediction_args.py:5-51) and the args.txt dump/reload
+workflow (train_edm.py:207-208 <-> utils/helpers.py:204-224): a checkpoint
+directory is self-describing via its args.json, and `load(exp_dir)` restores
+the exact experiment configuration.
+
+Defaults are the reference's defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+from gaudi_tpu.data.dataset import DatasetConfig
+
+
+@dataclasses.dataclass
+class EDMConfig:
+    # data
+    dataset: str = "cata"
+    csv_file: str = ""
+    xyz_root: str = ""
+    max_nodes: int = 11
+    target_features: str = "GAP_eV"
+    normalize: bool = True
+    sample_rate: float = 1.0
+
+    # training (reference utils/args_edm.py:15-26)
+    name: str = "cata-test"
+    restore: Optional[str] = None
+    lr: float = 1e-3
+    num_epochs: int = 1000
+    batch_size: int = 256
+    clip_grad: bool = True
+
+    # model (reference utils/args_edm.py:27-37)
+    n_layers: int = 9
+    nf: int = 192
+    tanh: bool = True
+    attention: bool = True
+    coords_range: float = 4.0
+    norm_constant: float = 1.0
+    sin_embedding: bool = False
+    inv_sublayers: int = 1
+    normalization_factor: float = 1.0
+    aggregation_method: str = "sum"
+
+    # diffusion (reference utils/args_edm.py:38-48)
+    diffusion_steps: int = 1000
+    diffusion_noise_schedule: str = "polynomial_2"
+    diffusion_noise_precision: float = 1e-5
+    diffusion_loss_type: str = "l2"
+    normalize_factors: tuple = (3.0, 4.0, 10.0)
+
+    # infra
+    save_dir: str = "summary"
+    seed: int = 0
+    dtype: str = "float32"  # compute dtype for the network ("bfloat16" opts in)
+
+    @property
+    def exp_dir(self) -> str:
+        return os.path.join(self.save_dir, self.name)
+
+    def data_config(self) -> DatasetConfig:
+        return DatasetConfig(
+            dataset=self.dataset,
+            csv_file=self.csv_file,
+            xyz_root=self.xyz_root,
+            max_nodes=self.max_nodes,
+            target_features=self.target_features,
+            normalize=self.normalize,
+            sample_rate=self.sample_rate,
+        )
+
+    def save(self, exp_dir: Optional[str] = None) -> str:
+        exp_dir = exp_dir or self.exp_dir
+        os.makedirs(exp_dir, exist_ok=True)
+        path = os.path.join(exp_dir, "args.json")
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+        return path
+
+    @classmethod
+    def load(cls, exp_dir: str):
+        with open(os.path.join(exp_dir, "args.json")) as f:
+            d = json.load(f)
+        d["normalize_factors"] = tuple(d.get("normalize_factors", (3, 4, 10)))
+        cfg = cls(**d)
+        return dataclasses.replace(cfg, restore=exp_dir)
+
+
+@dataclasses.dataclass
+class PredictorConfig:
+    # data
+    dataset: str = "cata"
+    csv_file: str = ""
+    xyz_root: str = ""
+    max_nodes: int = 11
+    target_features: str = "LUMO_eV,GAP_eV,Erel_eV,aIP_eV,aEA_eV"
+    normalize: bool = True
+    sample_rate: float = 1.0
+
+    # training (reference prediction_args.py:33-40)
+    name: str = "cond-predictor"
+    restore: Optional[str] = None
+    lr: float = 6e-4
+    num_epochs: int = 1000
+    batch_size: int = 256
+
+    # model (reference prediction_args.py:42-48)
+    n_layers: int = 12
+    nf: int = 196
+    tanh: bool = True
+    attention: bool = True
+    coords_range: float = 4.0
+    norm_constant: float = 1.0
+    normalization_factor: float = 1.0
+
+    save_dir: str = "prediction_summary"
+    seed: int = 0
+    dtype: str = "float32"
+
+    @property
+    def exp_dir(self) -> str:
+        return os.path.join(self.save_dir, self.name)
+
+    def data_config(self) -> DatasetConfig:
+        return DatasetConfig(
+            dataset=self.dataset,
+            csv_file=self.csv_file,
+            xyz_root=self.xyz_root,
+            max_nodes=self.max_nodes,
+            target_features=self.target_features,
+            normalize=self.normalize,
+            sample_rate=self.sample_rate,
+        )
+
+    def save(self, exp_dir: Optional[str] = None) -> str:
+        exp_dir = exp_dir or self.exp_dir
+        os.makedirs(exp_dir, exist_ok=True)
+        path = os.path.join(exp_dir, "args.json")
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2)
+        return path
+
+    @classmethod
+    def load(cls, exp_dir: str):
+        with open(os.path.join(exp_dir, "args.json")) as f:
+            d = json.load(f)
+        cfg = cls(**d)
+        return dataclasses.replace(cfg, restore=exp_dir)

@@ -262,7 +262,8 @@ class AromaticDataset:
                     return
                 pad = batch_size - len(idx)
                 weight[len(idx) :] = 0.0
-                idx = np.concatenate([idx, order[:pad]])
+                filler = np.tile(order, pad // len(order) + 1)[:pad]
+                idx = np.concatenate([idx, filler])
             batch = self.collate(idx, rng)
             batch["weight"] = weight
             yield batch

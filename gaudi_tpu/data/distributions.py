@@ -104,3 +104,29 @@ class PropertyDistribution:
 
     def unnormalize(self, val: np.ndarray) -> np.ndarray:
         return val * self.std + self.mean
+
+
+class EmpiricalPropertyDistribution:
+    """Samples real (normalized) target rows from a dataset's dataframe.
+
+    Mirrors reference EmpiricalDistributionProperty (models_edm.py:195-218):
+    instead of histogram resampling, draws actual property vectors from the
+    data — useful when targets are strongly correlated.
+    """
+
+    def __init__(self, dataset):
+        self.mean = dataset.mean
+        self.std = dataset.std
+        self.properties = dataset.cfg.targets
+        self.data = dataset.df[self.properties].values.astype(np.float32)
+        self._normalize = dataset.cfg.normalize
+
+    def sample_batch(self, n: int, rng: np.random.Generator) -> np.ndarray:
+        rows = self.data[rng.permutation(self.data.shape[0])[:n]]
+        return self.normalize(rows) if self._normalize else rows
+
+    def normalize(self, val: np.ndarray) -> np.ndarray:
+        return (val - self.mean) / self.std
+
+    def unnormalize(self, val: np.ndarray) -> np.ndarray:
+        return val * self.std + self.mean

@@ -1,0 +1,159 @@
+"""Batch sampling helpers: node-count -> masks -> jitted reverse diffusion.
+
+Rebuild of reference sampling_edm.py:65-265. The helpers compile one jitted
+sampler per (batch, nodes, std/scale) configuration and reuse it across
+calls; the masks are built on device from node counts (the reference builds
+them in Python per call, sampling_edm.py:135-161).
+
+Sampling temperature defaults match the reference: std=0.7 for unconditional
+(:128), std=1.0 for guidance (:172).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaudi_tpu.core import masked as M
+from gaudi_tpu.diffusion.edm import EDM, TargetFn
+
+
+def rotate_chain_frames(xh: jnp.ndarray, n_steps: int = 90) -> jnp.ndarray:
+    """Append a slow 3-axis rotation of the final frame for chain GIFs.
+
+    Mirrors reference rotate_chain (sampling_edm.py:15-58); xh is a single
+    [N, 3+K] frame, returns [n_steps, N, 3+K].
+    """
+    theta = np.pi / n_steps
+    cz, sz = np.cos(theta), np.sin(theta)
+    qz = np.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    qx = np.array([[1.0, 0.0, 0.0], [0.0, cz, -sz], [0.0, sz, cz]])
+    qy = np.array([[cz, 0.0, sz], [0.0, 1.0, 0.0], [-sz, 0.0, cz]])
+    q = jnp.asarray(qz @ qx @ qy, xh.dtype)
+
+    def body(carry, _):
+        x = carry[:, :3] @ q.T
+        nxt = jnp.concatenate([x, carry[:, 3:]], axis=1)
+        return nxt, nxt
+
+    _, frames = jax.lax.scan(body, xh, None, length=n_steps)
+    return frames
+
+
+class Sampler:
+    """Jitted sampling front-end bound to one EDM + parameter set."""
+
+    def __init__(self, edm: EDM, max_nodes: int, orientation: bool = False):
+        self.edm = edm
+        self.max_nodes = max_nodes
+        self.orientation = orientation
+
+    @lru_cache(maxsize=8)
+    def _jit_sample(self, std: float):
+        def fn(params, key, n_nodes):
+            node_mask, edge_mask = M.build_masks(
+                n_nodes, self.max_nodes, self.orientation
+            )
+            x, h = self.edm.sample(params, key, node_mask, edge_mask, std=std)
+            return x, h, node_mask, edge_mask
+
+        return jax.jit(fn)
+
+    @lru_cache(maxsize=8)
+    def _jit_chain(self, std: float, keep_frames: int):
+        def fn(params, key, n_nodes):
+            node_mask, edge_mask = M.build_masks(
+                n_nodes, self.max_nodes, self.orientation
+            )
+            return self.edm.sample_chain(
+                params, key, node_mask, edge_mask, keep_frames=keep_frames, std=std
+            )
+
+        return jax.jit(fn)
+
+    def sample(self, params, key, nodesxsample, std: float = 0.7):
+        """Unconditional molecules (reference sample_pos_edm :128-169).
+
+        nodesxsample: [B] ring counts. Returns (x, h_onehot, node_mask,
+        edge_mask) with x CoM-free and masked.
+        """
+        n_nodes = jnp.asarray(nodesxsample, jnp.int32)
+        return self._jit_sample(float(std))(params, key, n_nodes)
+
+    def sample_chain(
+        self, params, key, n_nodes: int = 10, keep_frames: int = 100, std: float = 0.7
+    ):
+        """Single-molecule denoising trajectory for visualization
+        (reference sample_chain_pos :65-116). Returns [keep_frames, N', 3+K]
+        oldest-noise-first."""
+        counts = jnp.full((1,), n_nodes, jnp.int32)
+        chain = self._jit_chain(float(std), int(keep_frames))(params, key, counts)
+        return chain[::-1, 0]  # frame 0 noisiest, last frame = final sample
+
+    def make_guided_sampler(
+        self, target_function: TargetFn, std: float = 1.0
+    ) -> Callable:
+        """Compile a guided sampler for a user target function
+        (reference sample_guidance :172-224)."""
+
+        def fn(params, key, n_nodes, scale):
+            node_mask, edge_mask = M.build_masks(
+                n_nodes, self.max_nodes, self.orientation
+            )
+            x, h = self.edm.sample_guidance(
+                params,
+                key,
+                target_function,
+                node_mask,
+                edge_mask,
+                scale=scale,
+                std=std,
+            )
+            return x, h, node_mask, edge_mask
+
+        return jax.jit(fn)
+
+    def sample_guidance(
+        self,
+        params,
+        key,
+        target_function: TargetFn,
+        nodesxsample,
+        scale: float = 1.0,
+        std: float = 1.0,
+    ):
+        fn = self.make_guided_sampler(target_function, std)
+        n_nodes = jnp.asarray(nodesxsample, jnp.int32)
+        return fn(params, key, n_nodes, jnp.float32(scale))
+
+
+def to_molecule_list(
+    x, h, node_mask, orientation: bool = False, max_nodes: Optional[int] = None
+):
+    """Device batch -> host list [(positions, ring_types)] for eval_chem.
+
+    For orientation mode the eval contract keeps ring rows and orientation
+    rows concatenated (reference passes the full doubled tensor,
+    eval via analyze.py:65-76).
+    """
+    x = np.asarray(x)
+    h = np.asarray(h)
+    nm = np.asarray(node_mask)[..., 0].astype(bool)
+    out = []
+    for i in range(x.shape[0]):
+        if orientation:
+            n = max_nodes
+            alive = nm[i, :n]
+            xi = np.concatenate([x[i, :n][alive], x[i, n:][alive]])
+            ti = np.concatenate(
+                [h[i, :n][alive].argmax(-1), h[i, n:][alive].argmax(-1)]
+            )
+        else:
+            xi = x[i][nm[i]]
+            ti = h[i][nm[i]].argmax(-1)
+        out.append((xi, ti))
+    return out

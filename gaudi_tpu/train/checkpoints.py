@@ -1,0 +1,55 @@
+"""Checkpointing: params + optimizer state + step, via orbax.
+
+Upgrade over the reference, which saves only model weights with no optimizer
+state or step counter (train_edm.py:180-183) — so mid-training resume was
+impossible. Here `save_checkpoint` persists the full train state and
+`load_checkpoint` restores it; the experiment config travels separately as
+args.json (gaudi_tpu.config).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _path(exp_dir: str, name: str) -> str:
+    return os.path.abspath(os.path.join(exp_dir, name))
+
+
+def save_checkpoint(exp_dir: str, state: Any, name: str = "model") -> str:
+    """Persist a pytree train state to <exp_dir>/<name>/ (overwrites)."""
+    path = _path(exp_dir, name)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, state, force=True)
+    return path
+
+
+def load_checkpoint(
+    exp_dir: str, target: Optional[Any] = None, name: str = "model"
+) -> Any:
+    """Restore a pytree train state; `target` provides structure/shapes."""
+    path = _path(exp_dir, name)
+    ckpt = ocp.PyTreeCheckpointer()
+    if target is None:
+        return ckpt.restore(path)
+    return ckpt.restore(path, args=ocp.args.PyTreeRestore(target))
+
+
+def best_val_tracker():
+    """Tiny helper reproducing the best-val checkpoint policy
+    (train_edm.py:164,180-183)."""
+    state = {"best": float("inf"), "epoch": -1}
+
+    def update(val_loss: float, epoch: int) -> bool:
+        if val_loss < state["best"]:
+            state["best"] = val_loss
+            state["epoch"] = epoch
+            return True
+        return False
+
+    update.state = state
+    return update

@@ -1,0 +1,224 @@
+"""EDM trainer: jitted train/val steps + epoch loops.
+
+Rebuild of reference train_edm.py:36-191 with the TPU-first step design:
+the entire step — mask construction from node counts, CoM projection,
+forward-noising, loss, grads, adaptive clipping, optimizer update — is one
+jitted function. Host->device traffic per step is x, h, n_nodes, weight
+(edge masks are derived on device); there are no .item() syncs inside the
+epoch loop (the reference syncs per batch for asserts/postfix,
+train_edm.py:66-84).
+
+With a mesh, the same jitted step runs batch-sharded data parallelism:
+params replicated, batch split along the "data" axis, XLA inserting the
+gradient all-reduce (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaudi_tpu.config import EDMConfig
+from gaudi_tpu.core import masked as M
+from gaudi_tpu.data import NodesDistribution, PropertyDistribution, create_datasets
+from gaudi_tpu.diffusion.edm import EDM
+from gaudi_tpu.diffusion.schedule import NoiseSchedule
+from gaudi_tpu.models.egnn import EGNNDynamics
+from gaudi_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from gaudi_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from gaudi_tpu.train.logging import MetricsLogger
+from gaudi_tpu.train.optim import last_grad_norm, make_optimizer
+from gaudi_tpu.train.state import TrainState
+
+
+def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
+    model = EGNNDynamics(
+        in_node_nf=in_node_nf,
+        hidden_nf=cfg.nf,
+        n_layers=cfg.n_layers,
+        inv_sublayers=cfg.inv_sublayers,
+        attention=cfg.attention,
+        tanh=cfg.tanh,
+        coords_range=cfg.coords_range,
+        norm_constant=cfg.norm_constant,
+        sin_embedding=cfg.sin_embedding,
+        normalization_factor=cfg.normalization_factor,
+        aggregation_method=cfg.aggregation_method,
+        condition_time=True,
+    )
+    schedule = NoiseSchedule.create(
+        cfg.diffusion_noise_schedule,
+        cfg.diffusion_steps,
+        cfg.diffusion_noise_precision,
+    )
+    edm = EDM(
+        apply_fn=model.apply,
+        schedule=schedule,
+        in_node_nf=in_node_nf,
+        loss_type=cfg.diffusion_loss_type,
+        norm_values=tuple(cfg.normalize_factors),
+    )
+    return model, edm
+
+
+class EDMTrainer:
+    def __init__(self, cfg: EDMConfig, datasets=None, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        if datasets is None:
+            datasets = create_datasets(cfg.data_config())
+        self.train_ds, self.val_ds, self.test_ds = datasets
+        self.nodes_dist = NodesDistribution.from_dataset(self.train_ds)
+        self.prop_dist = (
+            PropertyDistribution(self.train_ds)
+            if self.train_ds.cfg.targets
+            else None
+        )
+
+        self.in_node_nf = self.train_ds.n_classes
+        self.model, self.edm = build_edm(cfg, self.in_node_nf)
+        self.optimizer = make_optimizer(cfg.lr, clip=cfg.clip_grad)
+
+        n_pad = self.train_ds.padded_nodes
+        key = jax.random.PRNGKey(cfg.seed)
+        dummy_xh = jnp.zeros((2, n_pad, 3 + self.in_node_nf))
+        dummy_nm = jnp.ones((2, n_pad, 1))
+        dummy_em = jnp.ones((2, n_pad, n_pad))
+        params = self.model.init(key, jnp.zeros((2, 1)), dummy_xh, dummy_nm, dummy_em)
+        self.state = TrainState.create(params, self.optimizer)
+        if cfg.restore:
+            self.state = load_checkpoint(cfg.restore, self.state)
+
+        self._orientation = cfg.dataset != "cata"
+        self._max_nodes = cfg.max_nodes
+
+        if mesh is not None:
+            bs = batch_sharding(mesh)
+            rep = replicated_sharding(mesh)
+            self._train_step = jax.jit(
+                self._step_impl,
+                static_argnames=("train",),
+                donate_argnums=(0,),
+                in_shardings=(rep, bs, bs, bs, bs, rep),
+                out_shardings=(rep, rep),
+            )
+            self._val_step = jax.jit(
+                self._eval_impl, in_shardings=(rep, bs, bs, bs, bs, rep)
+            )
+        else:
+            self._train_step = jax.jit(
+                self._step_impl, static_argnames=("train",), donate_argnums=(0,)
+            )
+            self._val_step = jax.jit(self._eval_impl)
+
+    # ------------------------------------------------------------------
+
+    def _prep(self, x, h, n_nodes):
+        node_mask, edge_mask = M.build_masks(
+            n_nodes, self._max_nodes, self._orientation
+        )
+        x = M.remove_mean_with_mask(x, node_mask)
+        return x, h, node_mask, edge_mask
+
+    def _loss_impl(self, params, x, h, n_nodes, weight, key, train):
+        x, h, node_mask, edge_mask = self._prep(x, h, n_nodes)
+        loss, aux = self.edm.loss(
+            params, key, x, h, node_mask, edge_mask, training=train
+        )
+        wsum = jnp.maximum(weight.sum(), 1.0)
+        return (loss * weight).sum() / wsum, aux
+
+    def _step_impl(self, state, x, h, n_nodes, weight, key, train=True):
+        (loss, aux), grads = jax.value_and_grad(
+            self._loss_impl, has_aux=True
+        )(state.params, x, h, n_nodes, weight, key, train)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {"loss": loss, "grad_norm": last_grad_norm(opt_state)}
+        return new_state, metrics
+
+    def _eval_impl(self, params, x, h, n_nodes, weight, key):
+        loss, _ = self._loss_impl(params, x, h, n_nodes, weight, key, train=False)
+        return loss
+
+    # ------------------------------------------------------------------
+
+    def _batch_arrays(self, batch):
+        return (
+            jnp.asarray(batch["x"]),
+            jnp.asarray(batch["h"]),
+            jnp.asarray(batch["n_nodes"]),
+            jnp.asarray(batch["weight"]),
+        )
+
+    def train_epoch(self, epoch: int, rng: np.random.Generator, key) -> dict:
+        losses, gnorms = [], []
+        for batch in self.train_ds.iter_batches(self.cfg.batch_size, rng=rng):
+            key, sub = jax.random.split(key)
+            x, h, n, w = self._batch_arrays(batch)
+            self.state, metrics = self._train_step(self.state, x, h, n, w, sub)
+            losses.append(metrics["loss"])
+            gnorms.append(metrics["grad_norm"])
+        return {
+            "loss": float(jnp.stack(losses).mean()),
+            "grad_norm": float(jnp.stack(gnorms).mean()),
+        }
+
+    def eval_epoch(self, dataset, key) -> float:
+        losses, weights = [], []
+        for batch in dataset.iter_batches(self.cfg.batch_size, shuffle=False):
+            key, sub = jax.random.split(key)
+            x, h, n, w = self._batch_arrays(batch)
+            losses.append(self._val_step(self.state.params, x, h, n, w, sub))
+            weights.append(float(w.sum()))
+        w = np.asarray(weights)
+        return float(np.asarray(jnp.stack(losses)) @ w / w.sum())
+
+    def fit(self, num_epochs: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.num_epochs
+        cfg.save()
+        logger = MetricsLogger(cfg.exp_dir)
+        rng = np.random.default_rng(cfg.seed)
+        key = jax.random.PRNGKey(cfg.seed + 1)
+
+        best_val, best_epoch = float("inf"), -1
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            key, k_tr, k_val = jax.random.split(key, 3)
+            tm = self.train_epoch(epoch, rng, k_tr)
+            val_loss = self.eval_epoch(self.val_ds, k_val)
+            logger.log(
+                epoch,
+                train_loss=tm["loss"],
+                grad_norm=tm["grad_norm"],
+                val_loss=val_loss,
+                epoch_seconds=time.time() - t0,
+            )
+            print(
+                f"[{epoch}] train {tm['loss']:.4f} | val {val_loss:.4f} "
+                f"| gnorm {tm['grad_norm']:.1f} | {time.time()-t0:.1f}s"
+            )
+            if val_loss < best_val:
+                best_val, best_epoch = val_loss, epoch
+                save_checkpoint(cfg.exp_dir, self.state)
+
+        key, k_test = jax.random.split(key)
+        self.state = load_checkpoint(cfg.exp_dir, self.state)
+        test_loss = self.eval_epoch(self.test_ds, k_test)
+        logger.log(num_epochs, test_loss=test_loss)
+        logger.close()
+        return {
+            "best_val": best_val,
+            "best_epoch": best_epoch,
+            "test_loss": test_loss,
+        }

@@ -1,0 +1,129 @@
+"""Sampler front-end tests: shapes, masking, guidance-vs-unconditional."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaudi_tpu.core import masked as M
+from gaudi_tpu.diffusion.edm import EDM
+from gaudi_tpu.diffusion.schedule import NoiseSchedule
+from gaudi_tpu.models.egnn import EGNNDynamics
+from gaudi_tpu.sampling import Sampler, rotate_chain_frames, to_molecule_list
+
+
+@pytest.fixture(scope="module")
+def small_edm():
+    in_nf = 2
+    model = EGNNDynamics(in_node_nf=in_nf, hidden_nf=16, n_layers=1)
+    edm = EDM(
+        apply_fn=model.apply,
+        schedule=NoiseSchedule.create("polynomial_2", 10),
+        in_node_nf=in_nf,
+    )
+    key = jax.random.PRNGKey(0)
+    nm = jnp.ones((2, 5, 1))
+    em = M.node2edge_mask(nm)
+    z = jnp.zeros((2, 5, 3 + in_nf))
+    params = model.init(key, jnp.zeros((2, 1)), z, nm, em)
+    return edm, params, in_nf
+
+
+class TestSampler:
+    def test_unconditional_shapes_and_masks(self, small_edm):
+        edm, params, in_nf = small_edm
+        s = Sampler(edm, max_nodes=5)
+        x, h, nm, em = s.sample(params, jax.random.PRNGKey(1), np.array([3, 5, 4, 2]))
+        assert x.shape == (4, 5, 3)
+        assert h.shape == (4, 5, in_nf)
+        # padded slots zero, CoM-free
+        assert float(jnp.abs(x * (1 - nm)).max()) == 0
+        assert float(jnp.abs((x * nm).sum(1)).max()) < 1e-4
+        # h is one-hot on real nodes
+        np.testing.assert_allclose(np.asarray(h.sum(-1)), np.asarray(nm[..., 0]))
+
+    def test_zero_scale_guidance_equals_unconditional(self, small_edm):
+        """With scale=0 the guidance gradient vanishes; identical keys must
+        produce identical samples (the guided step reduces to the plain
+        posterior step + idempotent projections)."""
+        edm, params, _ = small_edm
+        s = Sampler(edm, max_nodes=5)
+
+        def target_fn(z, nm, em, t):
+            return (z**2).sum(axis=(1, 2))
+
+        key = jax.random.PRNGKey(2)
+        counts = np.array([4, 5])
+        xu, hu, _, _ = s.sample(params, key, counts, std=1.0)
+        xg, hg, _, _ = s.sample_guidance(params, key, target_fn, counts, scale=0.0, std=1.0)
+        np.testing.assert_allclose(np.asarray(xu), np.asarray(xg), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hu), np.asarray(hg), atol=1e-5)
+
+    def test_nonzero_scale_changes_samples(self, small_edm):
+        edm, params, _ = small_edm
+        s = Sampler(edm, max_nodes=5)
+
+        def target_fn(z, nm, em, t):
+            return (z**2).sum(axis=(1, 2))
+
+        key = jax.random.PRNGKey(2)
+        counts = np.array([4, 5])
+        xu, _, _, _ = s.sample(params, key, counts, std=1.0)
+        xg, _, _, _ = s.sample_guidance(params, key, target_fn, counts, scale=5.0, std=1.0)
+        assert not np.allclose(np.asarray(xu), np.asarray(xg), atol=1e-4)
+
+    def test_chain_frames(self, small_edm):
+        edm, params, in_nf = small_edm
+        s = Sampler(edm, max_nodes=5)
+        chain = s.sample_chain(params, jax.random.PRNGKey(3), n_nodes=4, keep_frames=8)
+        assert chain.shape == (8, 5, 3 + in_nf)
+        assert jnp.isfinite(chain).all()
+        # last frame is the decoded sample: one-hot features on real nodes
+        h_last = np.asarray(chain[-1, :4, 3:])
+        np.testing.assert_allclose(h_last.sum(-1), np.ones(4), rtol=1e-4)
+
+    def test_orientation_layout(self, small_edm):
+        edm, params, in_nf = small_edm
+        s = Sampler(edm, max_nodes=5, orientation=True)
+        x, h, nm, em = s.sample(params, jax.random.PRNGKey(4), np.array([3, 4]))
+        assert x.shape == (2, 10, 3)
+        np.testing.assert_array_equal(
+            np.asarray(nm[:, :5, 0]), np.asarray(nm[:, 5:, 0])
+        )
+
+
+class TestHelpers:
+    def test_rotate_chain_preserves_features_and_norms(self):
+        xh = jnp.asarray(np.random.default_rng(0).normal(size=(4, 7)).astype(np.float32))
+        frames = rotate_chain_frames(xh, n_steps=12)
+        assert frames.shape == (12, 4, 7)
+        np.testing.assert_allclose(
+            np.asarray(frames[:, :, 3:]), np.tile(np.asarray(xh[:, 3:]), (12, 1, 1)),
+            atol=1e-6,
+        )
+        norms = np.linalg.norm(np.asarray(frames[:, :, :3]), axis=-1)
+        np.testing.assert_allclose(norms, np.tile(norms[:1], (12, 1)), rtol=1e-4)
+
+    def test_to_molecule_list_strips_padding(self):
+        x = np.arange(2 * 5 * 3, dtype=np.float32).reshape(2, 5, 3)
+        h = np.eye(3, dtype=np.float32)[np.zeros((2, 5), int)]
+        nm = np.zeros((2, 5, 1), np.float32)
+        nm[0, :3] = 1
+        nm[1, :5] = 1
+        mols = to_molecule_list(x, h, nm)
+        assert mols[0][0].shape == (3, 3)
+        assert mols[1][0].shape == (5, 3)
+
+    def test_to_molecule_list_orientation(self):
+        # 2*max_nodes layout: ring rows then orientation rows
+        max_nodes = 4
+        x = np.random.default_rng(0).normal(size=(1, 8, 3)).astype(np.float32)
+        h = np.zeros((1, 8, 3), np.float32)
+        h[0, :4, 0] = 1
+        h[0, 4:, 2] = 1
+        nm = np.zeros((1, 8, 1), np.float32)
+        nm[0, [0, 1, 4, 5]] = 1  # 2 alive rings
+        mols = to_molecule_list(x, h, nm, orientation=True, max_nodes=max_nodes)
+        xi, ti = mols[0]
+        assert xi.shape == (4, 3)  # 2 rings + 2 orientation nodes
+        assert list(ti) == [0, 0, 2, 2]
