@@ -13,7 +13,8 @@ vs_baseline is relative to the north-star rate of 1,000 guided molecules
 per minute (BASELINE.json target for a TPU v4-8).
 
 Env knobs: GAUDI_BENCH_BATCH (default 512), GAUDI_BENCH_T (default 1000),
-GAUDI_BENCH_PLATFORM (force a JAX platform, e.g. cpu).
+GAUDI_BENCH_DTYPE (default bfloat16 — the production serving config; float32
+for exact-parity runs), GAUDI_BENCH_PLATFORM (force a JAX platform, e.g. cpu).
 """
 
 from __future__ import annotations
@@ -41,11 +42,12 @@ def main():
 
     batch = int(os.environ.get("GAUDI_BENCH_BATCH", 512))
     timesteps = int(os.environ.get("GAUDI_BENCH_T", 1000))
+    dtype = jnp.dtype(os.environ.get("GAUDI_BENCH_DTYPE", "bfloat16"))
     max_nodes, n_nodes, in_nf, n_targets = 11, 10, 1, 2
 
-    dynamics = EGNNDynamics(in_node_nf=in_nf, hidden_nf=192, n_layers=9)
+    dynamics = EGNNDynamics(in_node_nf=in_nf, hidden_nf=192, n_layers=9, dtype=dtype)
     predictor = EGNNPredictor(
-        in_nf=in_nf, out_nf=n_targets, hidden_nf=196, n_layers=12
+        in_nf=in_nf, out_nf=n_targets, hidden_nf=196, n_layers=12, dtype=dtype
     )
     edm = EDM(
         apply_fn=dynamics.apply,
@@ -94,7 +96,7 @@ def main():
     )
     # context to stderr so stdout stays one JSON line
     print(
-        f"[bench] batch={batch} T={timesteps} devices={jax.devices()} "
+        f"[bench] batch={batch} T={timesteps} dtype={dtype} devices={jax.devices()} "
         f"wall={secs:.2f}s",
         file=sys.stderr,
     )

@@ -37,6 +37,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# compute dtype convention: `dtype` controls activation/matmul precision
+# (bfloat16 doubles MXU throughput and halves HBM traffic on TPU); parameters
+# always stay float32 (flax param_dtype default), and the diffusion algebra
+# upstream/downstream runs float32 — models cast in at entry and cast out at
+# exit.
+
 from gaudi_tpu.core.masked import remove_mean_with_mask
 
 
@@ -96,13 +102,14 @@ class EdgeMLPIn(nn.Module):
     """
 
     hidden_nf: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, h: jax.Array, edge_attr: jax.Array) -> jax.Array:
         # h: [B, N, H_in], edge_attr: [B, N, N, E] -> [B, N, N, hidden]
-        src = nn.Dense(self.hidden_nf, use_bias=False, name="src")(h)
-        dst = nn.Dense(self.hidden_nf, use_bias=True, name="dst")(h)
-        edg = nn.Dense(self.hidden_nf, use_bias=False, name="edge")(edge_attr)
+        src = nn.Dense(self.hidden_nf, use_bias=False, dtype=self.dtype, name="src")(h)
+        dst = nn.Dense(self.hidden_nf, use_bias=True, dtype=self.dtype, name="dst")(h)
+        edg = nn.Dense(self.hidden_nf, use_bias=False, dtype=self.dtype, name="edge")(edge_attr)
         return src[:, :, None, :] + dst[:, None, :, :] + edg
 
 
@@ -118,6 +125,7 @@ class DenseGCL(nn.Module):
     attention: bool = True
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -128,12 +136,12 @@ class DenseGCL(nn.Module):
         edge_mask: jax.Array,
     ) -> jax.Array:
         # Edge model (reference egnn_new.py:42-57).
-        mij = EdgeMLPIn(self.hidden_nf, name="edge_in")(h, edge_attr)
+        mij = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_attr)
         mij = nn.silu(mij)
-        mij = nn.Dense(self.hidden_nf, name="edge_out")(mij)
+        mij = nn.Dense(self.hidden_nf, dtype=self.dtype, name="edge_out")(mij)
         mij = nn.silu(mij)
         if self.attention:
-            att = nn.sigmoid(nn.Dense(1, name="att")(mij))
+            att = nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="att")(mij))
             out = mij * att
         else:
             out = mij
@@ -151,11 +159,11 @@ class DenseGCL(nn.Module):
             raise ValueError(self.aggregation_method)
 
         # Node model (reference egnn_new.py:59-73): residual MLP on [h, agg].
-        upd = nn.Dense(self.hidden_nf, name="node_in")(
+        upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_in")(
             jnp.concatenate([h, agg], axis=-1)
         )
         upd = nn.silu(upd)
-        upd = nn.Dense(self.hidden_nf, name="node_out")(upd)
+        upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_out")(upd)
         h = h + upd
         return h * node_mask
 
@@ -186,6 +194,7 @@ class DenseEquivariantUpdate(nn.Module):
     coords_range: float = 15.0
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -197,13 +206,17 @@ class DenseEquivariantUpdate(nn.Module):
         node_mask: jax.Array,
         edge_mask: jax.Array,
     ) -> jax.Array:
-        m = EdgeMLPIn(self.hidden_nf, name="coord_in")(h, edge_attr)
+        m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="coord_in")(h, edge_attr)
         m = nn.silu(m)
-        m = nn.Dense(self.hidden_nf, name="coord_mid")(m)
+        m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="coord_mid")(m)
         m = nn.silu(m)
         gate = nn.Dense(
-            1, use_bias=False, kernel_init=_small_init(0.001), name="coord_gate"
+            1, use_bias=False, kernel_init=_small_init(0.001), dtype=self.dtype,
+            name="coord_gate"
         )(m)
+        # coordinate arithmetic stays f32: the tanh gate output is tiny
+        # (init gain 1e-3) and position updates accumulate over layers
+        gate = gate.astype(jnp.float32)
         if self.tanh:
             trans = coord_diff * jnp.tanh(gate) * self.coords_range
         else:
@@ -237,6 +250,7 @@ class EquivariantBlock(nn.Module):
     sin_embedding: bool = False
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -257,6 +271,7 @@ class EquivariantBlock(nn.Module):
                 attention=self.attention,
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
+                dtype=self.dtype,
                 name=f"gcl_{i}",
             )(h, edge_attr, node_mask, edge_mask)
         x = DenseEquivariantUpdate(
@@ -265,6 +280,7 @@ class EquivariantBlock(nn.Module):
             coords_range=self.coords_range,
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method,
+            dtype=self.dtype,
             name="equiv",
         )(h, x, coord_diff, edge_attr, node_mask, edge_mask)
         h = h * node_mask
@@ -288,6 +304,7 @@ class DynamicsEGNN(nn.Module):
     sin_embedding: bool = False
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -302,7 +319,11 @@ class DynamicsEGNN(nn.Module):
             edge_attr0 = SinusoidsEmbedding(name="sin_emb0")(radial0)
         else:
             edge_attr0 = radial0
-        h = nn.Dense(self.hidden_nf, name="embedding")(h)
+        # masks participate in [B,N,N,H]-sized products — cast once so they
+        # don't promote bfloat16 activations back to float32
+        node_mask = node_mask.astype(self.dtype)
+        edge_mask = edge_mask.astype(self.dtype)
+        h = nn.Dense(self.hidden_nf, dtype=self.dtype, name="embedding")(h)
         for i in range(self.n_layers):
             h, x = EquivariantBlock(
                 hidden_nf=self.hidden_nf,
@@ -314,9 +335,10 @@ class DynamicsEGNN(nn.Module):
                 sin_embedding=self.sin_embedding,
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )(h, x, edge_attr0, node_mask, edge_mask)
-        h = nn.Dense(self.out_node_nf, name="embedding_out")(h)
+        h = nn.Dense(self.out_node_nf, dtype=self.dtype, name="embedding_out")(h)
         h = h * node_mask
         return h, x
 
@@ -346,6 +368,7 @@ class EGNNDynamics(nn.Module):
     aggregation_method: str = "sum"
     condition_time: bool = True
     context_node_nf: int = 0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -388,8 +411,10 @@ class EGNNDynamics(nn.Module):
             sin_embedding=self.sin_embedding,
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method,
+            dtype=self.dtype,
             name="egnn",
-        )(h, x, node_mask, edge_mask)
+        )(h.astype(self.dtype), x, node_mask, edge_mask)
+        h_final = h_final.astype(jnp.float32)
 
         vel = (x_final - x) * node_mask
         if self.context_node_nf > 0:

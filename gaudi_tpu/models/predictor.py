@@ -38,6 +38,7 @@ class PredictorEGCL(nn.Module):
     tanh: bool = True
     coords_range: float = 1.0
     recurrent: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -52,20 +53,23 @@ class PredictorEGCL(nn.Module):
         edge_in = jnp.concatenate([radial, edge_attr0], axis=-1)
 
         # Edge model (gcl.py:225-238).
-        m = EdgeMLPIn(self.hidden_nf, name="edge_in")(h, edge_in)
+        m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_in)
         m = nn.silu(m)
-        m = nn.Dense(self.hidden_nf, name="edge_out")(m)
+        m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="edge_out")(m)
         m = nn.silu(m)
         if self.attention:
-            m = m * nn.sigmoid(nn.Dense(1, name="att")(m))
-        m = m * edge_mask[..., None]
+            m = m * nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="att")(m))
+        m = m * edge_mask[..., None].astype(m.dtype)
 
         # Coordinate model first (gcl.py:252-279, 291-297).
-        gate = nn.Dense(self.hidden_nf, name="coord_mid")(m)
+        gate = nn.Dense(self.hidden_nf, dtype=self.dtype, name="coord_mid")(m)
         gate = nn.silu(gate)
         gate = nn.Dense(
-            1, use_bias=False, kernel_init=_small_init(0.001), name="coord_gate"
+            1, use_bias=False, kernel_init=_small_init(0.001), dtype=self.dtype,
+            name="coord_gate"
         )(gate)
+        # coordinate path stays f32 (tiny gate, accumulating positions)
+        gate = gate.astype(jnp.float32)
         if self.tanh:
             trans = coord_diff * jnp.tanh(gate) * self.coords_range
         else:
@@ -75,14 +79,14 @@ class PredictorEGCL(nn.Module):
 
         # Node model (gcl.py:240-250).
         agg = m.sum(axis=2)
-        upd = nn.Dense(self.hidden_nf, name="node_in")(
+        upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_in")(
             jnp.concatenate([h, agg], axis=-1)
         )
         upd = nn.silu(upd)
-        upd = nn.Dense(self.hidden_nf, name="node_out")(upd)
+        upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_out")(upd)
         h = h + upd if self.recurrent else upd
 
-        return h * node_mask, x * node_mask
+        return h * node_mask.astype(h.dtype), x * node_mask.astype(x.dtype)
 
 
 class EGNNPredictor(nn.Module):
@@ -103,6 +107,7 @@ class EGNNPredictor(nn.Module):
     condition_time: bool = True
     recurrent: bool = True
     mean_over_real_nodes: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -125,7 +130,9 @@ class EGNNPredictor(nn.Module):
         edge_attr0, _ = coord2diff(x)
         # coord2diff returns exact squared distances (no eps inside radial).
 
-        h = nn.Dense(self.hidden_nf, name="embedding")(h)
+        h = nn.Dense(self.hidden_nf, dtype=self.dtype, name="embedding")(
+            h.astype(self.dtype)
+        )
         coords_range_layer = float(self.coords_range) / self.n_layers
         for i in range(self.n_layers):
             h, x = PredictorEGCL(
@@ -134,10 +141,11 @@ class EGNNPredictor(nn.Module):
                 tanh=self.tanh,
                 coords_range=coords_range_layer,
                 recurrent=self.recurrent,
+                dtype=self.dtype,
                 name=f"gcl_{i}",
-            )(h, x, edge_attr0, node_mask, edge_mask)
-        h = nn.Dense(self.out_nf, name="embedding_out")(h)
-        h = h * node_mask
+            )(h, x, edge_attr0, node_mask.astype(self.dtype), edge_mask.astype(self.dtype))
+        h = nn.Dense(self.out_nf, dtype=self.dtype, name="embedding_out")(h)
+        h = h.astype(jnp.float32) * node_mask
 
         if self.mean_over_real_nodes:
             denom = jnp.clip(node_mask.sum(axis=1), 1, None)

@@ -36,8 +36,11 @@ from gaudi_tpu.train.state import TrainState
 
 
 def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
+    import jax.numpy as _jnp
+
     model = EGNNDynamics(
         in_node_nf=in_node_nf,
+        dtype=_jnp.dtype(cfg.dtype),
         hidden_nf=cfg.nf,
         n_layers=cfg.n_layers,
         inv_sublayers=cfg.inv_sublayers,

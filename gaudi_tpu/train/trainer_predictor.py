@@ -35,6 +35,7 @@ from gaudi_tpu.train.state import TrainState
 def build_predictor(cfg: PredictorConfig, in_nf: int, out_nf: int) -> EGNNPredictor:
     return EGNNPredictor(
         in_nf=in_nf,
+        dtype=jnp.dtype(cfg.dtype),
         out_nf=out_nf,
         hidden_nf=cfg.nf,
         n_layers=cfg.n_layers,
