@@ -32,6 +32,15 @@ def main():
     if platform:
         jax.config.update("jax_platforms", platform)
 
+    # persistent compile cache: the remote-compile path on this setup takes
+    # minutes per new graph; cache hits make re-runs start in seconds
+    cache_dir = os.environ.get("GAUDI_COMPILE_CACHE", "/tmp/gaudi_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from gaudi_tpu.core import masked as M

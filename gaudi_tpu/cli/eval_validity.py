@@ -30,17 +30,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-workers", type=int, default=8)
+    p.add_argument("--dp", action="store_true", help="shard sampling over all devices")
     return p
 
 
-def sample_molecules(trainer, n_samples, batch_size, std, seed=0):
+def sample_molecules(trainer, n_samples, batch_size, std, seed=0, mesh=None):
     """Returns (molecule list for eval, wall-clock seconds)."""
     import jax
 
     from gaudi_tpu.sampling import Sampler, to_molecule_list
 
     cfg = trainer.cfg
-    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset != "cata")
+    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset != "cata", mesh=mesh)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -71,8 +72,18 @@ def main(argv=None):
     )
 
     cfg, trainer = load_edm_from_dir(args.exp_dir)
+    mesh = None
+    if args.dp:
+        import jax as _jax
+
+        if len(_jax.devices()) > 1:
+            from gaudi_tpu.parallel import create_mesh
+
+            mesh = create_mesh()
     batch = args.batch_size or args.n_samples
-    mols, secs = sample_molecules(trainer, args.n_samples, batch, args.std, args.seed)
+    mols, secs = sample_molecules(
+        trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh
+    )
     print(f"sampled {len(mols)} molecules in {secs:.2f}s "
           f"({len(mols)/secs:.1f} mol/s)")
 

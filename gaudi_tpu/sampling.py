@@ -45,12 +45,27 @@ def rotate_chain_frames(xh: jnp.ndarray, n_steps: int = 90) -> jnp.ndarray:
 
 
 class Sampler:
-    """Jitted sampling front-end bound to one EDM + parameter set."""
+    """Jitted sampling front-end bound to one EDM + parameter set.
 
-    def __init__(self, edm: EDM, max_nodes: int, orientation: bool = False):
+    With a mesh, the molecule batch (node-count vector) is sharded along the
+    "data" axis and each chip runs the full reverse scan on its shard —
+    sampling is embarrassingly parallel (SURVEY.md §2.5).
+    """
+
+    def __init__(self, edm: EDM, max_nodes: int, orientation: bool = False, mesh=None):
         self.edm = edm
         self.max_nodes = max_nodes
         self.orientation = orientation
+        self.mesh = mesh
+
+    def _shardings(self):
+        if self.mesh is None:
+            return {}
+        from gaudi_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+        rep = replicated_sharding(self.mesh)
+        bs = batch_sharding(self.mesh)
+        return {"in_shardings": (rep, rep, bs), "out_shardings": (bs, bs, bs, bs)}
 
     @lru_cache(maxsize=8)
     def _jit_sample(self, std: float):
@@ -61,7 +76,7 @@ class Sampler:
             x, h = self.edm.sample(params, key, node_mask, edge_mask, std=std)
             return x, h, node_mask, edge_mask
 
-        return jax.jit(fn)
+        return jax.jit(fn, **self._shardings())
 
     @lru_cache(maxsize=8)
     def _jit_chain(self, std: float, keep_frames: int):
@@ -115,7 +130,14 @@ class Sampler:
             )
             return x, h, node_mask, edge_mask
 
-        return jax.jit(fn)
+        sh = self._shardings()
+        if sh:
+            from gaudi_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            rep = replicated_sharding(self.mesh)
+            bs = batch_sharding(self.mesh)
+            sh = {"in_shardings": (rep, rep, bs, rep), "out_shardings": (bs, bs, bs, bs)}
+        return jax.jit(fn, **sh)
 
     def sample_guidance(
         self,

@@ -186,7 +186,34 @@ class EDMTrainer:
         w = np.asarray(weights)
         return float(np.asarray(jnp.stack(losses)) @ w / w.sum())
 
-    def fit(self, num_epochs: Optional[int] = None) -> dict:
+    def sample_and_plot(self, epoch: int, key, n_samples: int = 10):
+        """Periodic sample visualization (reference train_edm.py:130-139 —
+        chain gif + a few molecules every 50 val epochs). Failures are
+        swallowed like the reference's try/except plotting."""
+        try:
+            from gaudi_tpu.sampling import Sampler, to_molecule_list
+            from gaudi_tpu.utils.plotting import plot_chain, plot_graph_of_rings
+
+            cfg = self.cfg
+            sampler = Sampler(self.edm, cfg.max_nodes, self._orientation)
+            rng = np.random.default_rng(epoch)
+            counts = self.nodes_dist.sample(n_samples, rng)
+            k1, k2 = jax.random.split(key)
+            x, h, nm, _ = sampler.sample(self.state.params, k1, counts, std=0.7)
+            mols = to_molecule_list(x, h, nm, self._orientation, cfg.max_nodes)
+            out = f"{cfg.exp_dir}/epoch_{epoch}"
+            for i, (xi, ti) in enumerate(mols):
+                plot_graph_of_rings(
+                    xi, ti, f"{out}/mol{i}.png", dataset=cfg.dataset
+                )
+            chain = sampler.sample_chain(self.state.params, k2, std=0.7)
+            plot_chain(np.asarray(chain), f"{out}/chain.gif", cfg.dataset)
+        except Exception as e:  # visualization must never kill training
+            print(f"sample visualization failed: {e}")
+
+    def fit(
+        self, num_epochs: Optional[int] = None, sample_every: int = 50
+    ) -> dict:
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_epochs
         cfg.save()
@@ -197,7 +224,7 @@ class EDMTrainer:
         best_val, best_epoch = float("inf"), -1
         for epoch in range(num_epochs):
             t0 = time.time()
-            key, k_tr, k_val = jax.random.split(key, 3)
+            key, k_tr, k_val, k_viz = jax.random.split(key, 4)
             tm = self.train_epoch(epoch, rng, k_tr)
             val_loss = self.eval_epoch(self.val_ds, k_val)
             logger.log(
@@ -211,6 +238,8 @@ class EDMTrainer:
                 f"[{epoch}] train {tm['loss']:.4f} | val {val_loss:.4f} "
                 f"| gnorm {tm['grad_norm']:.1f} | {time.time()-t0:.1f}s"
             )
+            if sample_every and epoch % sample_every == 0 and epoch > 0:
+                self.sample_and_plot(epoch, k_viz)
             if val_loss < best_val:
                 best_val, best_epoch = val_loss, epoch
                 save_checkpoint(cfg.exp_dir, self.state)
