@@ -41,7 +41,7 @@ def sample_molecules(trainer, n_samples, batch_size, std, seed=0, mesh=None):
     from gaudi_tpu.sampling import Sampler, to_molecule_list
 
     cfg = trainer.cfg
-    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset != "cata", mesh=mesh)
+    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro", mesh=mesh)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
@@ -56,7 +56,7 @@ def sample_molecules(trainer, n_samples, batch_size, std, seed=0, mesh=None):
         jax.block_until_ready(x)
         mols += to_molecule_list(
             x[:b], h[:b], node_mask[:b],
-            orientation=cfg.dataset != "cata", max_nodes=cfg.max_nodes,
+            orientation=cfg.dataset == "hetro", max_nodes=cfg.max_nodes,
         )
         remaining -= b
     return mols, time.time() - t0
@@ -131,7 +131,7 @@ def main(argv=None):
         from gaudi_tpu.sampling import Sampler
         from gaudi_tpu.utils.plotting import plot_chain
 
-        sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset != "cata")
+        sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
         chain = sampler.sample_chain(
             trainer.state.params, jax.random.PRNGKey(args.seed + 1), std=args.std
         )

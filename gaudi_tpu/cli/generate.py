@@ -116,7 +116,7 @@ def main(argv=None):
         features,
     )
 
-    orientation = edm_cfg.dataset != "cata"
+    orientation = edm_cfg.dataset == "hetro"
     sampler = Sampler(edm_trainer.edm, edm_cfg.max_nodes, orientation)
     counts = np.full(args.batch_size, args.n_nodes, np.int64)
     key = jax.random.PRNGKey(args.seed)

@@ -56,7 +56,13 @@ class DatasetConfig:
 
     @property
     def orientation(self) -> bool:
-        return self.dataset != "cata"
+        # Deliberate deviation from the reference (which flags every
+        # non-cata dataset as orientation mode, aromatic_dataloader.py:64):
+        # peri rings are all Bn with no orientation handle, and the
+        # reference's peri eval path is internally inconsistent (its
+        # orientation-node check indexes the hetro vocabulary,
+        # analyze/analyze.py:69). Orientation mode is hetro-only here.
+        return self.dataset == "hetro"
 
 
 def get_splits(cfg: DatasetConfig, random_seed=42, val_frac=0.1, test_frac=0.1):

@@ -45,11 +45,20 @@ def _axial_to_xy(q: int, r: int) -> np.ndarray:
     )
 
 
-def _grow_cata_patch(rng: np.random.Generator, n_rings: int, max_tries: int = 200):
-    """Random triangle-free connected patch of `n_rings` hexagon cells."""
+def _grow_patch(
+    rng: np.random.Generator,
+    n_rings: int,
+    allow_peri: bool = False,
+    max_tries: int = 200,
+):
+    """Random connected patch of `n_rings` hexagon cells.
+
+    cata mode (allow_peri=False) keeps the patch triangle-free in the dual
+    (no atom belongs to 3 rings); peri mode allows arbitrary connected
+    patches (pyrene/coronene-like fusions).
+    """
     for _ in range(max_tries):
         cells = {(0, 0)}
-        frontier = list(_AXIAL_DIRS)
         ok = True
         while len(cells) < n_rings:
             candidates = []
@@ -57,6 +66,9 @@ def _grow_cata_patch(rng: np.random.Generator, n_rings: int, max_tries: int = 20
                 for dq, dr in _AXIAL_DIRS:
                     c = (q + dq, r + dr)
                     if c in cells:
+                        continue
+                    if allow_peri:
+                        candidates.append(c)
                         continue
                     # triangle-free: no two existing neighbors of c adjacent
                     neigh = [
@@ -81,8 +93,11 @@ def _grow_cata_patch(rng: np.random.Generator, n_rings: int, max_tries: int = 20
             cells.add(tuple(candidates[rng.integers(len(candidates))]))
         if ok:
             return sorted(cells)
-    raise RuntimeError(f"could not grow cata patch of {n_rings} rings")
-    del frontier  # unused; growth is global-candidate based
+    raise RuntimeError(f"could not grow patch of {n_rings} rings")
+
+
+def _grow_cata_patch(rng: np.random.Generator, n_rings: int, max_tries: int = 200):
+    return _grow_patch(rng, n_rings, allow_peri=False, max_tries=max_tries)
 
 
 def _patch_to_molecule(
@@ -282,13 +297,25 @@ def generate_dataset(
     probs = np.exp(0.55 * counts)
     probs /= probs.sum()
 
+    allow_peri = dataset == "peri"
     rows = []
     seen = set()
     i = 0
     while len(rows) < n_molecules:
         n_rings = int(rng.choice(counts, p=probs))
-        cells = _grow_cata_patch(rng, n_rings)
-        if not _is_catafusene(cells, n_rings):
+        cells = _grow_patch(rng, n_rings, allow_peri=allow_peri)
+        if allow_peri:
+            # validate against the ground-truth extractor: enclosed voids or
+            # fjord closures change the cycle-basis ring count
+            from gaudi_tpu.data.rings import extract_ring_graph
+
+            try:
+                rg = extract_ring_graph(_patch_to_molecule(cells), "peri")
+            except ValueError:
+                continue
+            if rg.n_rings != n_rings:
+                continue
+        elif not _is_catafusene(cells, n_rings):
             # planar-helicene fjord closure or void enclosure — the planar
             # idealization cannot represent these (real ones are nonplanar);
             # draw another patch.

@@ -77,7 +77,7 @@ def gor2goa(x: np.ndarray, ring_types: np.ndarray, dataset: str = "cata", tol: f
     """
     x = np.asarray(x, np.float64)
     ring_types = np.asarray(ring_types, np.int64)
-    n = x.shape[0] if dataset == "cata" else x.shape[0] // 2
+    n = x.shape[0] // 2 if dataset == "hetro" else x.shape[0]
 
     _, adj = positions2adj(x[None, :n], ring_types[None, :n], dataset=dataset, tol=tol)
     adj = adj[0]

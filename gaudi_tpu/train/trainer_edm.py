@@ -96,7 +96,7 @@ class EDMTrainer:
         if cfg.restore:
             self.state = load_checkpoint(cfg.restore, self.state)
 
-        self._orientation = cfg.dataset != "cata"
+        self._orientation = cfg.dataset == "hetro"
         self._max_nodes = cfg.max_nodes
 
         if mesh is not None:
