@@ -61,6 +61,7 @@ class EDMConfig:
     save_dir: str = "summary"
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the network ("bfloat16" opts in)
+    use_fused: bool = False  # Pallas fused edge kernels (TPU serving path)
 
     @property
     def exp_dir(self) -> str:

@@ -119,6 +119,11 @@ class DenseGCL(nn.Module):
     Mirrors reference GCL (edm/egnn/egnn_new.py:6-89): edge MLP ->
     optional sigmoid attention gate -> edge-mask -> sum over senders ->
     residual node MLP -> node-mask.
+
+    use_fused routes the edge pipeline through the Pallas kernel
+    (gaudi_tpu.ops.fused_edge) — no [B,N,N,H] intermediate ever reaches
+    HBM. The fused path declares its weights flat (w_src/w_dst/...);
+    gaudi_tpu.models.fused_convert maps between the two layouts.
     """
 
     hidden_nf: int
@@ -126,6 +131,7 @@ class DenseGCL(nn.Module):
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -135,22 +141,53 @@ class DenseGCL(nn.Module):
         node_mask: jax.Array,
         edge_mask: jax.Array,
     ) -> jax.Array:
-        # Edge model (reference egnn_new.py:42-57).
-        mij = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_attr)
-        mij = nn.silu(mij)
-        mij = nn.Dense(self.hidden_nf, dtype=self.dtype, name="edge_out")(mij)
-        mij = nn.silu(mij)
-        if self.attention:
-            att = nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="att")(mij))
-            out = mij * att
-        else:
-            out = mij
-        out = out * edge_mask[..., None]
+        if self.use_fused:
+            if not self.attention:
+                raise NotImplementedError("fused path requires attention=True")
+            from gaudi_tpu.ops.fused_edge import edge_block_attn_sum
 
-        # Aggregate over senders j (reference unsorted_segment_sum,
-        # egnn_new.py:403-421). 'mean' divides by the static N like the
-        # reference's unmasked ones-scatter does for full connectivity.
-        agg = out.sum(axis=2)
+            hh, e = self.hidden_nf, edge_attr.shape[-1]
+            h_in = h.shape[-1]
+            init = nn.initializers.lecun_normal()
+            w_src = self.param("w_src", init, (h_in, hh))
+            w_dst = self.param("w_dst", init, (h_in, hh))
+            b_dst = self.param("b_dst", nn.initializers.zeros, (hh,))
+            w_e = self.param("w_e", init, (e, hh))
+            w2 = self.param("w2", init, (hh, hh))
+            b2 = self.param("b2", nn.initializers.zeros, (hh,))
+            w_a = self.param("w_a", init, (hh, 1))
+            b_a = self.param("b_a", nn.initializers.zeros, ())
+
+            dt = self.dtype
+            hd = h.astype(dt)
+            agg = edge_block_attn_sum(
+                hd @ w_src.astype(dt),
+                hd @ w_dst.astype(dt) + b_dst.astype(dt),
+                edge_attr.astype(dt),
+                edge_mask.astype(dt),
+                w_e.astype(dt),
+                w2.astype(dt),
+                b2.astype(dt),
+                w_a[:, 0].astype(dt),
+                b_a.astype(dt),
+            )
+        else:
+            # Edge model (reference egnn_new.py:42-57).
+            mij = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_attr)
+            mij = nn.silu(mij)
+            mij = nn.Dense(self.hidden_nf, dtype=self.dtype, name="edge_out")(mij)
+            mij = nn.silu(mij)
+            if self.attention:
+                att = nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="att")(mij))
+                out = mij * att
+            else:
+                out = mij
+            out = out * edge_mask[..., None]
+
+            # Aggregate over senders j (reference unsorted_segment_sum,
+            # egnn_new.py:403-421). 'mean' divides by the static N like the
+            # reference's unmasked ones-scatter does for full connectivity.
+            agg = out.sum(axis=2)
         if self.aggregation_method == "sum":
             agg = agg / self.normalization_factor
         elif self.aggregation_method == "mean":
@@ -195,6 +232,7 @@ class DenseEquivariantUpdate(nn.Module):
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -206,23 +244,53 @@ class DenseEquivariantUpdate(nn.Module):
         node_mask: jax.Array,
         edge_mask: jax.Array,
     ) -> jax.Array:
-        m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="coord_in")(h, edge_attr)
-        m = nn.silu(m)
-        m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="coord_mid")(m)
-        m = nn.silu(m)
-        gate = nn.Dense(
-            1, use_bias=False, kernel_init=_small_init(0.001), dtype=self.dtype,
-            name="coord_gate"
-        )(m)
-        # coordinate arithmetic stays f32: the tanh gate output is tiny
-        # (init gain 1e-3) and position updates accumulate over layers
-        gate = gate.astype(jnp.float32)
-        if self.tanh:
-            trans = coord_diff * jnp.tanh(gate) * self.coords_range
+        if self.use_fused:
+            from gaudi_tpu.ops.fused_edge import edge_block_coord
+
+            hh, e = self.hidden_nf, edge_attr.shape[-1]
+            h_in = h.shape[-1]
+            init = nn.initializers.lecun_normal()
+            w_src = self.param("w_src", init, (h_in, hh))
+            w_dst = self.param("w_dst", init, (h_in, hh))
+            b_dst = self.param("b_dst", nn.initializers.zeros, (hh,))
+            w_e = self.param("w_e", init, (e, hh))
+            w2 = self.param("w2", init, (hh, hh))
+            b2 = self.param("b2", nn.initializers.zeros, (hh,))
+            w_g = self.param("w_g", _small_init(0.001), (hh, 1))
+
+            dt = self.dtype
+            hd = h.astype(dt)
+            agg = edge_block_coord(
+                hd @ w_src.astype(dt),
+                hd @ w_dst.astype(dt) + b_dst.astype(dt),
+                edge_attr.astype(dt),
+                edge_mask.astype(dt),
+                coord_diff.astype(jnp.float32),
+                w_e.astype(dt),
+                w2.astype(dt),
+                b2.astype(dt),
+                w_g[:, 0].astype(dt),
+                self.tanh,
+                self.coords_range,
+            )
         else:
-            trans = coord_diff * gate
-        trans = trans * edge_mask[..., None]
-        agg = trans.sum(axis=2)
+            m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="coord_in")(h, edge_attr)
+            m = nn.silu(m)
+            m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="coord_mid")(m)
+            m = nn.silu(m)
+            gate = nn.Dense(
+                1, use_bias=False, kernel_init=_small_init(0.001), dtype=self.dtype,
+                name="coord_gate"
+            )(m)
+            # coordinate arithmetic stays f32: the tanh gate output is tiny
+            # (init gain 1e-3) and position updates accumulate over layers
+            gate = gate.astype(jnp.float32)
+            if self.tanh:
+                trans = coord_diff * jnp.tanh(gate) * self.coords_range
+            else:
+                trans = coord_diff * gate
+            trans = trans * edge_mask[..., None]
+            agg = trans.sum(axis=2)
         if self.aggregation_method == "sum":
             agg = agg / self.normalization_factor
         elif self.aggregation_method == "mean":
@@ -251,6 +319,7 @@ class EquivariantBlock(nn.Module):
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -272,6 +341,7 @@ class EquivariantBlock(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 dtype=self.dtype,
+                use_fused=self.use_fused,
                 name=f"gcl_{i}",
             )(h, edge_attr, node_mask, edge_mask)
         x = DenseEquivariantUpdate(
@@ -281,6 +351,7 @@ class EquivariantBlock(nn.Module):
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method,
             dtype=self.dtype,
+            use_fused=self.use_fused,
             name="equiv",
         )(h, x, coord_diff, edge_attr, node_mask, edge_mask)
         h = h * node_mask
@@ -305,6 +376,7 @@ class DynamicsEGNN(nn.Module):
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -336,6 +408,7 @@ class DynamicsEGNN(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 dtype=self.dtype,
+                use_fused=self.use_fused,
                 name=f"block_{i}",
             )(h, x, edge_attr0, node_mask, edge_mask)
         h = nn.Dense(self.out_node_nf, dtype=self.dtype, name="embedding_out")(h)
@@ -369,6 +442,7 @@ class EGNNDynamics(nn.Module):
     condition_time: bool = True
     context_node_nf: int = 0
     dtype: jnp.dtype = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -412,6 +486,7 @@ class EGNNDynamics(nn.Module):
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method,
             dtype=self.dtype,
+            use_fused=self.use_fused,
             name="egnn",
         )(h.astype(self.dtype), x, node_mask, edge_mask)
         h_final = h_final.astype(jnp.float32)
