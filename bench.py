@@ -59,7 +59,8 @@ def main():
         in_node_nf=in_nf, hidden_nf=192, n_layers=9, dtype=dtype, use_fused=fused
     )
     predictor = EGNNPredictor(
-        in_nf=in_nf, out_nf=n_targets, hidden_nf=196, n_layers=12, dtype=dtype
+        in_nf=in_nf, out_nf=n_targets, hidden_nf=196, n_layers=12, dtype=dtype,
+        use_fused=fused,
     )
     edm = EDM(
         apply_fn=dynamics.apply,

@@ -37,12 +37,23 @@ def _convert_equiv(sub: dict) -> dict:
     return out
 
 
+def _convert_pred(sub: dict) -> dict:
+    """PredictorEGCL subtree: edge trunk + attention + coord-gate MLP."""
+    out = _convert_gcl(sub)
+    out["w_mid"] = sub["coord_mid"]["kernel"]
+    out["b_mid"] = sub["coord_mid"]["bias"]
+    out["w_g"] = sub["coord_gate"]["kernel"]
+    return out
+
+
 def params_to_fused(params):
-    """Recursively rewrite a dynamics-EGNN param tree to the fused layout."""
+    """Recursively rewrite an EGNN param tree to the fused layout."""
 
     def walk(tree):
         if not isinstance(tree, dict):
             return tree
+        if "edge_in" in tree and "coord_mid" in tree and "att" in tree:
+            return _convert_pred(tree)
         if "edge_in" in tree and "edge_out" in tree and "att" in tree:
             return _convert_gcl(tree)
         if "coord_in" in tree and "coord_gate" in tree:

@@ -80,6 +80,28 @@ def _coord_jnp(
     return trans.sum(axis=2)
 
 
+def _predictor_jnp(
+    src, dst, edge_attr, edge_mask, coord_diff,
+    w_e, w2, b2, w_a, b_a, w_mid, b_mid, w_g, tanh, rng,
+):
+    """Predictor layer edge pipeline: both heads from one attention-masked
+    message (reference edm/egnn_predictor/gcl.py:225-279 — the coordinate
+    gate MLP consumes the gated message)."""
+    m2 = _trunk_jnp(src, dst, edge_attr, w_e, w2, b2)
+    att = jax.nn.sigmoid(m2 @ w_a[:, None] + b_a)
+    m_att = m2 * att * edge_mask[..., None]
+    agg_h = m_att.sum(axis=2)
+
+    g1 = _silu(m_att @ w_mid + b_mid)
+    gate = (g1 @ w_g[:, None]).astype(jnp.float32)
+    if tanh:
+        trans = coord_diff * jnp.tanh(gate) * rng
+    else:
+        trans = coord_diff * gate
+    trans = trans * edge_mask[..., None]
+    return agg_h, trans.sum(axis=2)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
@@ -147,6 +169,87 @@ def _coord_kernel(tanh: bool, rng: float,
         gate = jnp.tanh(gate) * rng
     trans = cd_ref[:] * gate * em_ref[:][..., None]
     out_ref[:] = trans.sum(axis=2).astype(out_ref.dtype)
+
+
+def _predictor_kernel(tanh: bool, rng: float,
+                      src_ref, dst_ref, ea_ref, em_ref, cd_ref, we_ref,
+                      w2_ref, b2_ref, wa_ref, ba_ref, wmid_ref, bmid_ref,
+                      wg_ref, outh_ref, outx_ref):
+    tb, n, h = src_ref.shape
+    e = ea_ref.shape[-1]
+    acc = jnp.float32
+
+    ea = ea_ref[:].reshape(tb * n * n, e)
+    e2 = jax.lax.dot_general(
+        ea, we_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+    ).reshape(tb, n, n, h)
+    m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
+    m1 = _silu(m0).reshape(tb * n * n, h)
+    z2 = (
+        jax.lax.dot_general(
+            m1, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        + b2_ref[:]
+    )
+    m2 = _silu(z2)
+    a = jax.nn.sigmoid(
+        jax.lax.dot_general(
+            m2, wa_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+        )
+        + ba_ref[0, 0]
+    )
+    m_att = (m2 * a).reshape(tb, n, n, h) * em_ref[:][..., None]
+    outh_ref[:] = m_att.sum(axis=2).astype(outh_ref.dtype)
+
+    g1 = _silu(
+        jax.lax.dot_general(
+            m_att.reshape(tb * n * n, h), wmid_ref[:],
+            (((1,), (0,)), ((), ())), preferred_element_type=acc,
+        )
+        + bmid_ref[:]
+    )
+    gate = jax.lax.dot_general(
+        g1, wg_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+    ).reshape(tb, n, n, 1)
+    if tanh:
+        gate = jnp.tanh(gate) * rng
+    trans = cd_ref[:] * gate * em_ref[:][..., None]
+    outx_ref[:] = trans.sum(axis=2).astype(outx_ref.dtype)
+
+
+def _pallas_predictor(src, dst, edge_attr, edge_mask, coord_diff,
+                      w_e, w2, b2, w_a, b_a, w_mid, b_mid, w_g, tanh, rng):
+    b, n, h = src.shape
+    tb = _batch_tile(n)
+    assert b % tb == 0
+    grid = (b // tb,)
+    bspec = lambda blk, rank: pl.BlockSpec(  # noqa: E731
+        blk, lambda i: (i,) + (0,) * (rank - 1), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_predictor_kernel, bool(tanh), float(rng))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bspec((tb, n, h), 3),
+            bspec((tb, n, h), 3),
+            bspec((tb, n, n, edge_attr.shape[-1]), 4),
+            bspec((tb, n, n), 3),
+            bspec((tb, n, n, 3), 4),
+            wspec, wspec, wspec, wspec, wspec, wspec, wspec, wspec,
+        ],
+        out_specs=(bspec((tb, n, h), 3), bspec((tb, n, 3), 3)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, h), src.dtype),
+            jax.ShapeDtypeStruct((b, n, 3), coord_diff.dtype),
+        ),
+    )(
+        src, dst, edge_attr, edge_mask, coord_diff,
+        w_e, w2, b2.reshape(1, -1), w_a.reshape(-1, 1),
+        jnp.asarray(b_a, src.dtype).reshape(1, 1),
+        w_mid, b_mid.reshape(1, -1), w_g.reshape(-1, 1),
+    )
 
 
 def _pallas_attn_sum(src, dst, edge_attr, edge_mask, w_e, w2, b2, w_a, b_a):
@@ -273,3 +376,39 @@ def _coord_bwd(tanh, rng, res, g):
 
 
 edge_block_coord.defvjp(_coord_fwd, _coord_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def edge_block_predictor(src, dst, edge_attr, edge_mask, coord_diff,
+                         w_e, w2, b2, w_a, b_a, w_mid, b_mid, w_g, tanh, rng):
+    """Fused predictor edge layer: (feature reduce, coordinate reduce) from
+    a single attention-masked message. Returns ([B,N,H], [B,N,3])."""
+    if _on_tpu():
+        return _pallas_predictor(
+            src, dst, edge_attr, edge_mask, coord_diff,
+            w_e, w2, b2, w_a, b_a, w_mid, b_mid, w_g, tanh, rng,
+        )
+    return _predictor_jnp(
+        src, dst, edge_attr, edge_mask, coord_diff,
+        w_e, w2, b2, w_a, b_a, w_mid, b_mid, w_g, tanh, rng,
+    )
+
+
+def _predictor_fwd(src, dst, edge_attr, edge_mask, coord_diff,
+                   w_e, w2, b2, w_a, b_a, w_mid, b_mid, w_g, tanh, rng):
+    out = edge_block_predictor(
+        src, dst, edge_attr, edge_mask, coord_diff,
+        w_e, w2, b2, w_a, b_a, w_mid, b_mid, w_g, tanh, rng,
+    )
+    res = (src, dst, edge_attr, edge_mask, coord_diff,
+           w_e, w2, b2, w_a, b_a, w_mid, b_mid, w_g)
+    return out, res
+
+
+def _predictor_bwd(tanh, rng, res, g):
+    fn = lambda *a: _predictor_jnp(*a, tanh, rng)  # noqa: E731
+    _, vjp = jax.vjp(fn, *res)
+    return vjp(g)
+
+
+edge_block_predictor.defvjp(_predictor_fwd, _predictor_bwd)

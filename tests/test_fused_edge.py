@@ -118,3 +118,35 @@ class TestFusedModel:
         obf = mbf.apply(pf, t, z, nm, em)
         rel = float(jnp.abs(o32 - obf).max() / (jnp.abs(o32).max() + 1e-9))
         assert obf.dtype == jnp.float32 and rel < 0.1
+
+
+class TestFusedPredictor:
+    def test_fused_predictor_matches(self, setup):
+        from gaudi_tpu.models.predictor import EGNNPredictor
+
+        z, nm, em, t = setup
+        m_ref = EGNNPredictor(in_nf=2, out_nf=3, hidden_nf=64, n_layers=3)
+        m_fused = EGNNPredictor(
+            in_nf=2, out_nf=3, hidden_nf=64, n_layers=3, use_fused=True
+        )
+        p = m_ref.init(jax.random.PRNGKey(4), z, nm, em, t)
+        pf = params_to_fused(p)
+        o1 = m_ref.apply(p, z, nm, em, t)
+        o2 = m_fused.apply(pf, z, nm, em, t)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=5e-5)
+
+    def test_fused_predictor_input_grads_match(self, setup):
+        """The guidance path differentiates the predictor wrt its input —
+        the fused custom_vjp must agree with the unfused autodiff."""
+        from gaudi_tpu.models.predictor import EGNNPredictor
+
+        z, nm, em, t = setup
+        m_ref = EGNNPredictor(in_nf=2, out_nf=1, hidden_nf=32, n_layers=2)
+        m_fused = EGNNPredictor(
+            in_nf=2, out_nf=1, hidden_nf=32, n_layers=2, use_fused=True
+        )
+        p = m_ref.init(jax.random.PRNGKey(5), z, nm, em, t)
+        pf = params_to_fused(p)
+        g1 = jax.grad(lambda zz: m_ref.apply(p, zz, nm, em, t).sum())(z)
+        g2 = jax.grad(lambda zz: m_fused.apply(pf, zz, nm, em, t).sum())(z)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
