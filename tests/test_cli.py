@@ -1,0 +1,108 @@
+"""CLI entry-point tests: the full user workflow end-to-end on tiny configs.
+
+Covers the reference's five entry scripts (train_edm, train_cond_predictor,
+eval_validity, eval_cond_predictor, generation_guidance) through this
+framework's `python -m gaudi_tpu.cli.*` mains.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gaudi_tpu.cli import (
+    eval_predictor,
+    eval_validity,
+    generate,
+    train_edm,
+    train_predictor,
+)
+from gaudi_tpu.data.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli"))
+    generate_dataset(root, "cata", n_molecules=50, seed=0)
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(workspace):
+    root = workspace
+    common = [
+        "--dataset", "cata", "--data-root", root, "--max-nodes", "11",
+        "--target-features", "GAP_eV,HOMO_eV",
+    ]
+    train_edm.main(
+        common
+        + ["--name", "edm", "--save-dir", f"{root}/summary", "--epochs", "2",
+           "--batch-size", "16", "--n-layers", "1", "--nf", "16",
+           "--diffusion-steps", "10"]
+    )
+    train_predictor.main(
+        common
+        + ["--name", "pred", "--save-dir", f"{root}/psummary", "--epochs", "1",
+           "--batch-size", "16", "--n-layers", "1", "--nf", "16",
+           "--diffusion-steps", "10"]
+    )
+    return root
+
+
+class TestCLI:
+    def test_training_artifacts(self, trained):
+        exp = f"{trained}/summary/edm"
+        assert os.path.exists(f"{exp}/args.json")
+        assert os.path.exists(f"{exp}/metrics.jsonl")
+        assert os.path.isdir(f"{exp}/model")
+        with open(f"{exp}/args.json") as f:
+            assert json.load(f)["nf"] == 16
+
+    def test_eval_validity(self, trained):
+        out = eval_validity.main(
+            ["--exp-dir", f"{trained}/summary/edm", "--n-samples", "8",
+             "--batch-size", "8", "--plots", "1"]
+        )
+        assert 0.0 <= out["stability"]["mol_stable"] <= 1.0
+        assert 0.0 <= out["chemistry"]["mol_valid"] <= 1.0
+        assert out["sampling_seconds"] > 0
+
+    def test_eval_predictor(self, trained):
+        out = eval_predictor.main(
+            ["--exp-dir", f"{trained}/psummary/pred", "--n-levels", "3"]
+        )
+        assert len(out["mae"]) == 3
+        assert all(np.isfinite(out["mae"]))
+
+    def test_generate(self, trained):
+        out = generate.main(
+            ["--edm-dir", f"{trained}/summary/edm",
+             "--predictor-dir", f"{trained}/psummary/pred",
+             "--batch-size", "8", "--scale", "0.5", "--n-nodes", "6",
+             "--target", "min:GAP_eV", "--out-dir", f"{trained}/best"]
+        )
+        assert out["gen_seconds"] > 0
+        assert np.isfinite(out["mean_target"])
+        assert os.path.isdir(out["run_dir"])
+
+    def test_generate_weighted_target(self, trained):
+        out = generate.main(
+            ["--edm-dir", f"{trained}/summary/edm",
+             "--predictor-dir", f"{trained}/psummary/pred",
+             "--batch-size", "8", "--scale", "0.3", "--n-nodes", "5",
+             "--target", "1*GAP_eV+-0.5*HOMO_eV", "--out-dir", f"{trained}/best"]
+        )
+        assert np.isfinite(out["mean_target"])
+
+    def test_synthetic_flag_generates_missing_data(self, tmp_path):
+        root = str(tmp_path)
+        res = train_edm.main(
+            ["--dataset", "cata", "--data-root", root, "--synthetic", "30",
+             "--name", "auto", "--save-dir", f"{root}/s", "--epochs", "1",
+             "--batch-size", "8", "--n-layers", "1", "--nf", "8",
+             "--diffusion-steps", "5", "--target-features", "GAP_eV",
+             "--max-nodes", "11"]
+        )
+        assert np.isfinite(res["test_loss"])
+        assert os.path.exists(f"{root}/cata.csv")
