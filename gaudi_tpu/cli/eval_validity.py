@@ -31,6 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-workers", type=int, default=8)
     p.add_argument("--dp", action="store_true", help="shard sampling over all devices")
+    p.add_argument("--profile", default="", help="capture a jax.profiler trace to this dir")
     return p
 
 
@@ -81,9 +82,17 @@ def main(argv=None):
 
             mesh = create_mesh()
     batch = args.batch_size or args.n_samples
-    mols, secs = sample_molecules(
-        trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh
-    )
+    if args.profile:
+        from gaudi_tpu.utils.profiling import device_trace
+
+        with device_trace(args.profile):
+            mols, secs = sample_molecules(
+                trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh
+            )
+    else:
+        mols, secs = sample_molecules(
+            trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh
+        )
     print(f"sampled {len(mols)} molecules in {secs:.2f}s "
           f"({len(mols)/secs:.1f} mol/s)")
 

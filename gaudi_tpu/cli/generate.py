@@ -42,6 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-workers", type=int, default=8)
+    p.add_argument("--profile", default="", help="capture a jax.profiler trace to this dir")
     return p
 
 
@@ -124,10 +125,20 @@ def main(argv=None):
     print(f"designing {args.batch_size} molecules "
           f"(scale={args.scale}, n_nodes={args.n_nodes}, target={args.target})")
     t0 = time.time()
-    x, h, node_mask, edge_mask = sampler.sample_guidance(
-        edm_trainer.state.params, key, target_fn, counts,
-        scale=args.scale, std=args.std,
-    )
+    if args.profile:
+        from gaudi_tpu.utils.profiling import device_trace
+
+        with device_trace(args.profile):
+            x, h, node_mask, edge_mask = sampler.sample_guidance(
+                edm_trainer.state.params, key, target_fn, counts,
+                scale=args.scale, std=args.std,
+            )
+            jax.block_until_ready(x)
+    else:
+        x, h, node_mask, edge_mask = sampler.sample_guidance(
+            edm_trainer.state.params, key, target_fn, counts,
+            scale=args.scale, std=args.std,
+        )
     jax.block_until_ready(x)
     gen_secs = time.time() - t0
     print(f"generated {args.batch_size} molecules in {gen_secs:.2f}s "

@@ -377,6 +377,7 @@ class DynamicsEGNN(nn.Module):
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
     use_fused: bool = False
+    remat: bool = False  # jax.checkpoint each block (memory <-> recompute)
 
     @nn.compact
     def __call__(
@@ -396,8 +397,9 @@ class DynamicsEGNN(nn.Module):
         node_mask = node_mask.astype(self.dtype)
         edge_mask = edge_mask.astype(self.dtype)
         h = nn.Dense(self.hidden_nf, dtype=self.dtype, name="embedding")(h)
+        block_cls = nn.remat(EquivariantBlock) if self.remat else EquivariantBlock
         for i in range(self.n_layers):
-            h, x = EquivariantBlock(
+            h, x = block_cls(
                 hidden_nf=self.hidden_nf,
                 inv_sublayers=self.inv_sublayers,
                 attention=self.attention,
@@ -443,6 +445,7 @@ class EGNNDynamics(nn.Module):
     context_node_nf: int = 0
     dtype: jnp.dtype = jnp.float32
     use_fused: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -487,6 +490,7 @@ class EGNNDynamics(nn.Module):
             aggregation_method=self.aggregation_method,
             dtype=self.dtype,
             use_fused=self.use_fused,
+            remat=self.remat,
             name="egnn",
         )(h.astype(self.dtype), x, node_mask, edge_mask)
         h_final = h_final.astype(jnp.float32)
