@@ -136,7 +136,7 @@ def _attn_sum_kernel(src_ref, dst_ref, ea_ref, em_ref, we_ref, w2_ref, b2_ref,
         jax.lax.dot_general(
             m2, wa_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
         )
-        + ba_ref[0, 0]
+        + ba_ref[:]  # [1,1] broadcast (scalar extract of bf16 unsupported)
     )
     o = (m2 * a).reshape(tb, n, n, h) * em_ref[:][..., None]
     out_ref[:] = o.sum(axis=2).astype(out_ref.dtype)
@@ -196,7 +196,7 @@ def _predictor_kernel(tanh: bool, rng: float,
         jax.lax.dot_general(
             m2, wa_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
         )
-        + ba_ref[0, 0]
+        + ba_ref[:]  # [1,1] broadcast (scalar extract of bf16 unsupported)
     )
     m_att = (m2 * a).reshape(tb, n, n, h) * em_ref[:][..., None]
     outh_ref[:] = m_att.sum(axis=2).astype(outh_ref.dtype)
@@ -247,7 +247,7 @@ def _pallas_predictor(src, dst, edge_attr, edge_mask, coord_diff,
     )(
         src, dst, edge_attr, edge_mask, coord_diff,
         w_e, w2, b2.reshape(1, -1), w_a.reshape(-1, 1),
-        jnp.asarray(b_a, src.dtype).reshape(1, 1),
+        jnp.asarray(b_a, jnp.float32).reshape(1, 1),
         w_mid, b_mid.reshape(1, -1), w_g.reshape(-1, 1),
     )
 
@@ -280,7 +280,7 @@ def _pallas_attn_sum(src, dst, edge_attr, edge_mask, w_e, w2, b2, w_a, b_a):
     )(
         src, dst, edge_attr, edge_mask,
         w_e, w2, b2.reshape(1, -1), w_a.reshape(-1, 1),
-        jnp.asarray(b_a, src.dtype).reshape(1, 1),
+        jnp.asarray(b_a, jnp.float32).reshape(1, 1),
     )
 
 

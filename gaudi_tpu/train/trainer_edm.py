@@ -36,11 +36,9 @@ from gaudi_tpu.train.state import TrainState
 
 
 def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
-    import jax.numpy as _jnp
-
     model = EGNNDynamics(
         in_node_nf=in_node_nf,
-        dtype=_jnp.dtype(cfg.dtype),
+        dtype=jnp.dtype(cfg.dtype),
         use_fused=cfg.use_fused,
         hidden_nf=cfg.nf,
         n_layers=cfg.n_layers,
