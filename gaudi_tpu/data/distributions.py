@@ -99,6 +99,16 @@ class PropertyDistribution:
     def sample_batch(self, nodesxsample: np.ndarray, rng: np.random.Generator):
         return np.stack([self.sample(int(n), rng) for n in nodesxsample])
 
+    def sample_df(self, nodesxsample: np.ndarray, df, rng: np.random.Generator):
+        """Sample *real* normalized target rows conditioned on ring count
+        (reference DistributionProperty.sample_df, models_edm.py:170-177)."""
+        vals = []
+        for n in nodesxsample:
+            rows = df[df.n_rings == int(n)]
+            pick = rows.iloc[rng.integers(len(rows))]
+            vals.append([pick[p] for p in self.properties])
+        return self.normalize(np.asarray(vals, np.float32))
+
     def normalize(self, val: np.ndarray) -> np.ndarray:
         return (val - self.mean) / self.std
 

@@ -119,26 +119,31 @@ def _attn_sum_kernel(src_ref, dst_ref, ea_ref, em_ref, we_ref, w2_ref, b2_ref,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    ea = ea_ref[:].reshape(tb * n * n, e)
-    e2 = jax.lax.dot_general(
-        ea, we_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
-    ).reshape(tb, n, n, h)
+    # E is tiny (1-2): broadcast-accumulate instead of a matmul; avoids
+    # reshapes, which Mosaic cannot layout for bf16 4D->2D casts
+    ea = ea_ref[:]
+    we = we_ref[:]
+    e2 = ea[..., 0:1] * we[0]
+    for kk in range(1, e):
+        e2 += ea[..., kk:kk + 1] * we[kk]
     m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
-    m1 = _silu(m0).reshape(tb * n * n, h)
+    m1 = _silu(m0)  # [tb, n, n, h]
     z2 = (
         jax.lax.dot_general(
-            m1, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+            m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
         + b2_ref[:]
     )
-    m2 = _silu(z2)
+    # back to the compute dtype after f32 accumulation (matches the flax
+    # Dense(dtype=...) semantics of the unfused path, keeps the MXU in bf16)
+    m2 = _silu(z2).astype(src_ref.dtype)  # [tb, n, n, h]
     a = jax.nn.sigmoid(
         jax.lax.dot_general(
-            m2, wa_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+            m2, wa_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
-        + ba_ref[:]  # [1,1] broadcast (scalar extract of bf16 unsupported)
+        + ba_ref[0:1, 0:1]
     )
-    o = (m2 * a).reshape(tb, n, n, h) * em_ref[:][..., None]
+    o = (m2 * a) * em_ref[:][..., None]
     out_ref[:] = o.sum(axis=2).astype(out_ref.dtype)
 
 
@@ -149,22 +154,27 @@ def _coord_kernel(tanh: bool, rng: float,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    ea = ea_ref[:].reshape(tb * n * n, e)
-    e2 = jax.lax.dot_general(
-        ea, we_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
-    ).reshape(tb, n, n, h)
+    # E is tiny (1-2): broadcast-accumulate instead of a matmul; avoids
+    # reshapes, which Mosaic cannot layout for bf16 4D->2D casts
+    ea = ea_ref[:]
+    we = we_ref[:]
+    e2 = ea[..., 0:1] * we[0]
+    for kk in range(1, e):
+        e2 += ea[..., kk:kk + 1] * we[kk]
     m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
-    m1 = _silu(m0).reshape(tb * n * n, h)
+    m1 = _silu(m0)  # [tb, n, n, h]
     z2 = (
         jax.lax.dot_general(
-            m1, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+            m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
         + b2_ref[:]
     )
-    m2 = _silu(z2)
+    # back to the compute dtype after f32 accumulation (matches the flax
+    # Dense(dtype=...) semantics of the unfused path, keeps the MXU in bf16)
+    m2 = _silu(z2).astype(src_ref.dtype)  # [tb, n, n, h]
     gate = jax.lax.dot_general(
-        m2, wg_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
-    ).reshape(tb, n, n, 1)
+        m2, wg_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+    )
     if tanh:
         gate = jnp.tanh(gate) * rng
     trans = cd_ref[:] * gate * em_ref[:][..., None]
@@ -179,38 +189,43 @@ def _predictor_kernel(tanh: bool, rng: float,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    ea = ea_ref[:].reshape(tb * n * n, e)
-    e2 = jax.lax.dot_general(
-        ea, we_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
-    ).reshape(tb, n, n, h)
+    # E is tiny (1-2): broadcast-accumulate instead of a matmul; avoids
+    # reshapes, which Mosaic cannot layout for bf16 4D->2D casts
+    ea = ea_ref[:]
+    we = we_ref[:]
+    e2 = ea[..., 0:1] * we[0]
+    for kk in range(1, e):
+        e2 += ea[..., kk:kk + 1] * we[kk]
     m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
-    m1 = _silu(m0).reshape(tb * n * n, h)
+    m1 = _silu(m0)  # [tb, n, n, h]
     z2 = (
         jax.lax.dot_general(
-            m1, w2_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+            m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
         + b2_ref[:]
     )
-    m2 = _silu(z2)
+    # back to the compute dtype after f32 accumulation (matches the flax
+    # Dense(dtype=...) semantics of the unfused path, keeps the MXU in bf16)
+    m2 = _silu(z2).astype(src_ref.dtype)  # [tb, n, n, h]
     a = jax.nn.sigmoid(
         jax.lax.dot_general(
-            m2, wa_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
+            m2, wa_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
-        + ba_ref[:]  # [1,1] broadcast (scalar extract of bf16 unsupported)
+        + ba_ref[0:1, 0:1]
     )
-    m_att = (m2 * a).reshape(tb, n, n, h) * em_ref[:][..., None]
+    m_att = (m2 * a) * em_ref[:][..., None]
     outh_ref[:] = m_att.sum(axis=2).astype(outh_ref.dtype)
 
     g1 = _silu(
         jax.lax.dot_general(
-            m_att.reshape(tb * n * n, h), wmid_ref[:],
-            (((1,), (0,)), ((), ())), preferred_element_type=acc,
+            m_att.astype(src_ref.dtype), wmid_ref[:],
+            (((3,), (0,)), ((), ())), preferred_element_type=acc,
         )
         + bmid_ref[:]
-    )
+    ).astype(src_ref.dtype)
     gate = jax.lax.dot_general(
-        g1, wg_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=acc
-    ).reshape(tb, n, n, 1)
+        g1, wg_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+    )
     if tanh:
         gate = jnp.tanh(gate) * rng
     trans = cd_ref[:] * gate * em_ref[:][..., None]
