@@ -128,21 +128,23 @@ def _attn_sum_kernel(src_ref, dst_ref, ea_ref, em_ref, we_ref, w2_ref, b2_ref,
         e2 += ea[..., kk:kk + 1] * we[kk]
     m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
     m1 = _silu(m0)  # [tb, n, n, h]
+    # cast back to the compute dtype right after the f32-accumulated matmul —
+    # matches flax Dense(dtype=...) semantics of the unfused path and keeps
+    # every elementwise op single-dtype (Mosaic rejects mixed-dtype
+    # broadcasts like f32 scalar -> bf16 vector)
     z2 = (
         jax.lax.dot_general(
             m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
-        )
+        ).astype(m1.dtype)
         + b2_ref[:]
     )
-    # back to the compute dtype after f32 accumulation (matches the flax
-    # Dense(dtype=...) semantics of the unfused path, keeps the MXU in bf16)
-    m2 = _silu(z2).astype(src_ref.dtype)  # [tb, n, n, h]
+    m2 = _silu(z2)
     a = jax.nn.sigmoid(
         jax.lax.dot_general(
             m2, wa_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
         + ba_ref[0:1, 0:1]
-    )
+    ).astype(m2.dtype)
     o = (m2 * a) * em_ref[:][..., None]
     out_ref[:] = o.sum(axis=2).astype(out_ref.dtype)
 
@@ -163,21 +165,24 @@ def _coord_kernel(tanh: bool, rng: float,
         e2 += ea[..., kk:kk + 1] * we[kk]
     m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
     m1 = _silu(m0)  # [tb, n, n, h]
+    # cast back to the compute dtype right after the f32-accumulated matmul —
+    # matches flax Dense(dtype=...) semantics of the unfused path and keeps
+    # every elementwise op single-dtype (Mosaic rejects mixed-dtype
+    # broadcasts like f32 scalar -> bf16 vector)
     z2 = (
         jax.lax.dot_general(
             m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
-        )
+        ).astype(m1.dtype)
         + b2_ref[:]
     )
-    # back to the compute dtype after f32 accumulation (matches the flax
-    # Dense(dtype=...) semantics of the unfused path, keeps the MXU in bf16)
-    m2 = _silu(z2).astype(src_ref.dtype)  # [tb, n, n, h]
+    m2 = _silu(z2)
     gate = jax.lax.dot_general(
         m2, wg_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
     )
     if tanh:
         gate = jnp.tanh(gate) * rng
-    trans = cd_ref[:] * gate * em_ref[:][..., None]
+    em32 = em_ref[:][..., None].astype(acc)
+    trans = cd_ref[:].astype(acc) * gate * em32
     out_ref[:] = trans.sum(axis=2).astype(out_ref.dtype)
 
 
@@ -198,37 +203,42 @@ def _predictor_kernel(tanh: bool, rng: float,
         e2 += ea[..., kk:kk + 1] * we[kk]
     m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
     m1 = _silu(m0)  # [tb, n, n, h]
+    # cast back to the compute dtype right after the f32-accumulated matmul —
+    # matches flax Dense(dtype=...) semantics of the unfused path and keeps
+    # every elementwise op single-dtype (Mosaic rejects mixed-dtype
+    # broadcasts like f32 scalar -> bf16 vector)
     z2 = (
         jax.lax.dot_general(
             m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
-        )
+        ).astype(m1.dtype)
         + b2_ref[:]
     )
-    # back to the compute dtype after f32 accumulation (matches the flax
-    # Dense(dtype=...) semantics of the unfused path, keeps the MXU in bf16)
-    m2 = _silu(z2).astype(src_ref.dtype)  # [tb, n, n, h]
+    m2 = _silu(z2)
     a = jax.nn.sigmoid(
         jax.lax.dot_general(
             m2, wa_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
         + ba_ref[0:1, 0:1]
-    )
+    ).astype(m2.dtype)
     m_att = (m2 * a) * em_ref[:][..., None]
     outh_ref[:] = m_att.sum(axis=2).astype(outh_ref.dtype)
 
-    g1 = _silu(
-        jax.lax.dot_general(
-            m_att.astype(src_ref.dtype), wmid_ref[:],
-            (((3,), (0,)), ((), ())), preferred_element_type=acc,
+    g1 = (
+        _silu(
+            jax.lax.dot_general(
+                m_att, wmid_ref[:],
+                (((3,), (0,)), ((), ())), preferred_element_type=acc,
+            ).astype(m2.dtype)
+            + bmid_ref[:]
         )
-        + bmid_ref[:]
-    ).astype(src_ref.dtype)
+    )
     gate = jax.lax.dot_general(
         g1, wg_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
     )
     if tanh:
         gate = jnp.tanh(gate) * rng
-    trans = cd_ref[:] * gate * em_ref[:][..., None]
+    em32 = em_ref[:][..., None].astype(acc)
+    trans = cd_ref[:].astype(acc) * gate * em32
     outx_ref[:] = trans.sum(axis=2).astype(outx_ref.dtype)
 
 
