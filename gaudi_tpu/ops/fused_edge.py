@@ -123,33 +123,32 @@ def _attn_sum_kernel(src_ref, dst_ref, ea_ref, em_ref, we_ref, w2_ref, b2_ref,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    # E is tiny (1-2): broadcast-accumulate instead of a matmul; avoids
-    # reshapes, which Mosaic cannot layout for bf16 4D->2D casts
-    ea = ea_ref[:]
-    we = we_ref[:]
+    # dtype strategy: HBM traffic and MXU matmuls stay in the compute dtype
+    # (bf16 halves bandwidth, doubles MXU rate); every VPU elementwise op and
+    # 4D broadcast runs in f32 inside VMEM — Mosaic cannot lay out 4D bf16
+    # broadcasts/reshapes, and f32 VPU work is free relative to the matmuls.
+    # E is tiny (1-2): broadcast-accumulate instead of a matmul.
+    dt = src_ref.dtype
+    ea = ea_ref[:].astype(acc)
+    we = we_ref[:].astype(acc)
     e2 = ea[..., 0:1] * we[0]
     for kk in range(1, e):
         e2 += ea[..., kk:kk + 1] * we[kk]
-    m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
-    m1 = _silu(m0)  # [tb, n, n, h]
-    # cast back to the compute dtype right after the f32-accumulated matmul —
-    # matches flax Dense(dtype=...) semantics of the unfused path and keeps
-    # every elementwise op single-dtype (Mosaic rejects mixed-dtype
-    # broadcasts like f32 scalar -> bf16 vector)
-    z2 = (
-        jax.lax.dot_general(
-            m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
-        ).astype(m1.dtype)
-        + b2_ref[:]
-    )
-    m2 = _silu(z2)
+    src = src_ref[:].astype(acc)
+    dst = dst_ref[:].astype(acc)
+    m0 = e2 + src[:, :, None, :] + dst[:, None, :, :]
+    m1 = _silu(m0).astype(dt)  # -> compute dtype for the MXU
+    z2 = jax.lax.dot_general(
+        m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+    ) + b2_ref[:].astype(acc)
+    m2 = _silu(z2).astype(dt)
     a = jax.nn.sigmoid(
         jax.lax.dot_general(
             m2, wa_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
         + ba_ref[0:1, 0:1]
-    ).astype(m2.dtype)
-    o = (m2 * a) * em_ref[:][..., None]
+    )
+    o = (m2.astype(acc) * a) * em_ref[:][..., None].astype(acc)
     out_ref[:] = o.sum(axis=2).astype(out_ref.dtype)
 
 
@@ -160,26 +159,25 @@ def _coord_kernel(tanh: bool, rng: float,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    # E is tiny (1-2): broadcast-accumulate instead of a matmul; avoids
-    # reshapes, which Mosaic cannot layout for bf16 4D->2D casts
-    ea = ea_ref[:]
-    we = we_ref[:]
+    # dtype strategy: HBM traffic and MXU matmuls stay in the compute dtype
+    # (bf16 halves bandwidth, doubles MXU rate); every VPU elementwise op and
+    # 4D broadcast runs in f32 inside VMEM — Mosaic cannot lay out 4D bf16
+    # broadcasts/reshapes, and f32 VPU work is free relative to the matmuls.
+    # E is tiny (1-2): broadcast-accumulate instead of a matmul.
+    dt = src_ref.dtype
+    ea = ea_ref[:].astype(acc)
+    we = we_ref[:].astype(acc)
     e2 = ea[..., 0:1] * we[0]
     for kk in range(1, e):
         e2 += ea[..., kk:kk + 1] * we[kk]
-    m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
-    m1 = _silu(m0)  # [tb, n, n, h]
-    # cast back to the compute dtype right after the f32-accumulated matmul —
-    # matches flax Dense(dtype=...) semantics of the unfused path and keeps
-    # every elementwise op single-dtype (Mosaic rejects mixed-dtype
-    # broadcasts like f32 scalar -> bf16 vector)
-    z2 = (
-        jax.lax.dot_general(
-            m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
-        ).astype(m1.dtype)
-        + b2_ref[:]
-    )
-    m2 = _silu(z2)
+    src = src_ref[:].astype(acc)
+    dst = dst_ref[:].astype(acc)
+    m0 = e2 + src[:, :, None, :] + dst[:, None, :, :]
+    m1 = _silu(m0).astype(dt)  # -> compute dtype for the MXU
+    z2 = jax.lax.dot_general(
+        m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+    ) + b2_ref[:].astype(acc)
+    m2 = _silu(z2).astype(dt)
     gate = jax.lax.dot_general(
         m2, wg_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
     )
@@ -198,44 +196,42 @@ def _predictor_kernel(tanh: bool, rng: float,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    # E is tiny (1-2): broadcast-accumulate instead of a matmul; avoids
-    # reshapes, which Mosaic cannot layout for bf16 4D->2D casts
-    ea = ea_ref[:]
-    we = we_ref[:]
+    # dtype strategy: HBM traffic and MXU matmuls stay in the compute dtype
+    # (bf16 halves bandwidth, doubles MXU rate); every VPU elementwise op and
+    # 4D broadcast runs in f32 inside VMEM — Mosaic cannot lay out 4D bf16
+    # broadcasts/reshapes, and f32 VPU work is free relative to the matmuls.
+    # E is tiny (1-2): broadcast-accumulate instead of a matmul.
+    dt = src_ref.dtype
+    ea = ea_ref[:].astype(acc)
+    we = we_ref[:].astype(acc)
     e2 = ea[..., 0:1] * we[0]
     for kk in range(1, e):
         e2 += ea[..., kk:kk + 1] * we[kk]
-    m0 = e2 + src_ref[:][:, :, None, :] + dst_ref[:][:, None, :, :]
-    m1 = _silu(m0)  # [tb, n, n, h]
-    # cast back to the compute dtype right after the f32-accumulated matmul —
-    # matches flax Dense(dtype=...) semantics of the unfused path and keeps
-    # every elementwise op single-dtype (Mosaic rejects mixed-dtype
-    # broadcasts like f32 scalar -> bf16 vector)
-    z2 = (
-        jax.lax.dot_general(
-            m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
-        ).astype(m1.dtype)
-        + b2_ref[:]
-    )
-    m2 = _silu(z2)
+    src = src_ref[:].astype(acc)
+    dst = dst_ref[:].astype(acc)
+    m0 = e2 + src[:, :, None, :] + dst[:, None, :, :]
+    m1 = _silu(m0).astype(dt)  # -> compute dtype for the MXU
+    z2 = jax.lax.dot_general(
+        m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+    ) + b2_ref[:].astype(acc)
+    m2 = _silu(z2).astype(dt)
     a = jax.nn.sigmoid(
         jax.lax.dot_general(
             m2, wa_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
         )
         + ba_ref[0:1, 0:1]
-    ).astype(m2.dtype)
-    m_att = (m2 * a) * em_ref[:][..., None]
-    outh_ref[:] = m_att.sum(axis=2).astype(outh_ref.dtype)
-
-    g1 = (
-        _silu(
-            jax.lax.dot_general(
-                m_att, wmid_ref[:],
-                (((3,), (0,)), ((), ())), preferred_element_type=acc,
-            ).astype(m2.dtype)
-            + bmid_ref[:]
-        )
     )
+    m_att32 = (m2.astype(acc) * a) * em_ref[:][..., None].astype(acc)
+    outh_ref[:] = m_att32.sum(axis=2).astype(outh_ref.dtype)
+
+    m_att = m_att32.astype(dt)
+    g1 = _silu(
+        jax.lax.dot_general(
+            m_att, wmid_ref[:],
+            (((3,), (0,)), ((), ())), preferred_element_type=acc,
+        )
+        + bmid_ref[:].astype(acc)
+    ).astype(dt)
     gate = jax.lax.dot_general(
         g1, wg_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
     )
