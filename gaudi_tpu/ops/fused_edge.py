@@ -123,12 +123,10 @@ def _attn_sum_kernel(src_ref, dst_ref, ea_ref, em_ref, we_ref, w2_ref, b2_ref,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    # dtype strategy: HBM traffic and MXU matmuls stay in the compute dtype
-    # (bf16 halves bandwidth, doubles MXU rate); every VPU elementwise op and
-    # 4D broadcast runs in f32 inside VMEM — Mosaic cannot lay out 4D bf16
-    # broadcasts/reshapes, and f32 VPU work is free relative to the matmuls.
-    # E is tiny (1-2): broadcast-accumulate instead of a matmul.
-    dt = src_ref.dtype
+    # dtype strategy: HBM traffic stays in the compute dtype (bf16 halves
+    # bandwidth); ALL in-kernel compute runs f32 — this Mosaic version cannot
+    # lay out any 4D bf16 broadcast/reshape/dot, and the kernel's win is
+    # bandwidth, not MXU rate. E is tiny (1-2): broadcast-accumulate.
     ea = ea_ref[:].astype(acc)
     we = we_ref[:].astype(acc)
     e2 = ea[..., 0:1] * we[0]
@@ -137,18 +135,20 @@ def _attn_sum_kernel(src_ref, dst_ref, ea_ref, em_ref, we_ref, w2_ref, b2_ref,
     src = src_ref[:].astype(acc)
     dst = dst_ref[:].astype(acc)
     m0 = e2 + src[:, :, None, :] + dst[:, None, :, :]
-    m1 = _silu(m0).astype(dt)  # -> compute dtype for the MXU
+    m1 = _silu(m0)
     z2 = jax.lax.dot_general(
-        m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+        m1, w2_ref[:].astype(acc), (((3,), (0,)), ((), ())),
+        preferred_element_type=acc,
     ) + b2_ref[:].astype(acc)
-    m2 = _silu(z2).astype(dt)
+    m2 = _silu(z2)
     a = jax.nn.sigmoid(
         jax.lax.dot_general(
-            m2, wa_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+            m2, wa_ref[:].astype(acc), (((3,), (0,)), ((), ())),
+            preferred_element_type=acc,
         )
         + ba_ref[0:1, 0:1]
     )
-    o = (m2.astype(acc) * a) * em_ref[:][..., None].astype(acc)
+    o = (m2 * a) * em_ref[:][..., None].astype(acc)
     out_ref[:] = o.sum(axis=2).astype(out_ref.dtype)
 
 
@@ -159,12 +159,10 @@ def _coord_kernel(tanh: bool, rng: float,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    # dtype strategy: HBM traffic and MXU matmuls stay in the compute dtype
-    # (bf16 halves bandwidth, doubles MXU rate); every VPU elementwise op and
-    # 4D broadcast runs in f32 inside VMEM — Mosaic cannot lay out 4D bf16
-    # broadcasts/reshapes, and f32 VPU work is free relative to the matmuls.
-    # E is tiny (1-2): broadcast-accumulate instead of a matmul.
-    dt = src_ref.dtype
+    # dtype strategy: HBM traffic stays in the compute dtype (bf16 halves
+    # bandwidth); ALL in-kernel compute runs f32 — this Mosaic version cannot
+    # lay out any 4D bf16 broadcast/reshape/dot, and the kernel's win is
+    # bandwidth, not MXU rate. E is tiny (1-2): broadcast-accumulate.
     ea = ea_ref[:].astype(acc)
     we = we_ref[:].astype(acc)
     e2 = ea[..., 0:1] * we[0]
@@ -173,13 +171,15 @@ def _coord_kernel(tanh: bool, rng: float,
     src = src_ref[:].astype(acc)
     dst = dst_ref[:].astype(acc)
     m0 = e2 + src[:, :, None, :] + dst[:, None, :, :]
-    m1 = _silu(m0).astype(dt)  # -> compute dtype for the MXU
+    m1 = _silu(m0)
     z2 = jax.lax.dot_general(
-        m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+        m1, w2_ref[:].astype(acc), (((3,), (0,)), ((), ())),
+        preferred_element_type=acc,
     ) + b2_ref[:].astype(acc)
-    m2 = _silu(z2).astype(dt)
+    m2 = _silu(z2)
     gate = jax.lax.dot_general(
-        m2, wg_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+        m2, wg_ref[:].astype(acc), (((3,), (0,)), ((), ())),
+        preferred_element_type=acc,
     )
     if tanh:
         gate = jnp.tanh(gate) * rng
@@ -196,12 +196,10 @@ def _predictor_kernel(tanh: bool, rng: float,
     e = ea_ref.shape[-1]
     acc = jnp.float32
 
-    # dtype strategy: HBM traffic and MXU matmuls stay in the compute dtype
-    # (bf16 halves bandwidth, doubles MXU rate); every VPU elementwise op and
-    # 4D broadcast runs in f32 inside VMEM — Mosaic cannot lay out 4D bf16
-    # broadcasts/reshapes, and f32 VPU work is free relative to the matmuls.
-    # E is tiny (1-2): broadcast-accumulate instead of a matmul.
-    dt = src_ref.dtype
+    # dtype strategy: HBM traffic stays in the compute dtype (bf16 halves
+    # bandwidth); ALL in-kernel compute runs f32 — this Mosaic version cannot
+    # lay out any 4D bf16 broadcast/reshape/dot, and the kernel's win is
+    # bandwidth, not MXU rate. E is tiny (1-2): broadcast-accumulate.
     ea = ea_ref[:].astype(acc)
     we = we_ref[:].astype(acc)
     e2 = ea[..., 0:1] * we[0]
@@ -210,30 +208,32 @@ def _predictor_kernel(tanh: bool, rng: float,
     src = src_ref[:].astype(acc)
     dst = dst_ref[:].astype(acc)
     m0 = e2 + src[:, :, None, :] + dst[:, None, :, :]
-    m1 = _silu(m0).astype(dt)  # -> compute dtype for the MXU
+    m1 = _silu(m0)
     z2 = jax.lax.dot_general(
-        m1, w2_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+        m1, w2_ref[:].astype(acc), (((3,), (0,)), ((), ())),
+        preferred_element_type=acc,
     ) + b2_ref[:].astype(acc)
-    m2 = _silu(z2).astype(dt)
+    m2 = _silu(z2)
     a = jax.nn.sigmoid(
         jax.lax.dot_general(
-            m2, wa_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+            m2, wa_ref[:].astype(acc), (((3,), (0,)), ((), ())),
+            preferred_element_type=acc,
         )
         + ba_ref[0:1, 0:1]
     )
-    m_att32 = (m2.astype(acc) * a) * em_ref[:][..., None].astype(acc)
-    outh_ref[:] = m_att32.sum(axis=2).astype(outh_ref.dtype)
+    m_att = (m2 * a) * em_ref[:][..., None].astype(acc)
+    outh_ref[:] = m_att.sum(axis=2).astype(outh_ref.dtype)
 
-    m_att = m_att32.astype(dt)
     g1 = _silu(
         jax.lax.dot_general(
-            m_att, wmid_ref[:],
+            m_att, wmid_ref[:].astype(acc),
             (((3,), (0,)), ((), ())), preferred_element_type=acc,
         )
         + bmid_ref[:].astype(acc)
-    ).astype(dt)
+    )
     gate = jax.lax.dot_general(
-        g1, wg_ref[:], (((3,), (0,)), ((), ())), preferred_element_type=acc
+        g1, wg_ref[:].astype(acc), (((3,), (0,)), ((), ())),
+        preferred_element_type=acc,
     )
     if tanh:
         gate = jnp.tanh(gate) * rng
