@@ -148,7 +148,7 @@ def _attn_sum_kernel(src_ref, dst_ref, ea_ref, em_ref, we_ref, w2_ref, b2_ref,
         )
         + ba_ref[0:1, 0:1]
     )
-    o = (m2 * a) * em_ref[:][..., None].astype(acc)
+    o = (m2 * a) * em_ref[:].astype(acc)[..., None]
     out_ref[:] = o.sum(axis=2).astype(out_ref.dtype)
 
 
@@ -183,7 +183,7 @@ def _coord_kernel(tanh: bool, rng: float,
     )
     if tanh:
         gate = jnp.tanh(gate) * rng
-    em32 = em_ref[:][..., None].astype(acc)
+    em32 = em_ref[:].astype(acc)[..., None]
     trans = cd_ref[:].astype(acc) * gate * em32
     out_ref[:] = trans.sum(axis=2).astype(out_ref.dtype)
 
@@ -221,7 +221,7 @@ def _predictor_kernel(tanh: bool, rng: float,
         )
         + ba_ref[0:1, 0:1]
     )
-    m_att = (m2 * a) * em_ref[:][..., None].astype(acc)
+    m_att = (m2 * a) * em_ref[:].astype(acc)[..., None]
     outh_ref[:] = m_att.sum(axis=2).astype(outh_ref.dtype)
 
     g1 = _silu(
@@ -237,7 +237,7 @@ def _predictor_kernel(tanh: bool, rng: float,
     )
     if tanh:
         gate = jnp.tanh(gate) * rng
-    em32 = em_ref[:][..., None].astype(acc)
+    em32 = em_ref[:].astype(acc)[..., None]
     trans = cd_ref[:].astype(acc) * gate * em32
     outx_ref[:] = trans.sum(axis=2).astype(outx_ref.dtype)
 
