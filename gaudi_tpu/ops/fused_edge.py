@@ -114,7 +114,7 @@ def _predictor_jnp(
 def _batch_tile(n: int) -> int:
     """Batch elements per grid step: a few f32 [TB*N*N, H] stage tensors
     must fit VMEM (~16 MB); larger tiles amortize per-program overhead."""
-    return max(1, 2048 // (n * n))  # N=11 -> 16, N=22 -> 4
+    return max(1, 1024 // (n * n))  # N=11 -> 8, N=22 -> 2
 
 
 def _attn_sum_kernel(src_ref, dst_ref, ea_ref, em_ref, we_ref, w2_ref, b2_ref,
