@@ -113,7 +113,14 @@ class Sampler:
         self, target_function: TargetFn, std: float = 1.0
     ) -> Callable:
         """Compile a guided sampler for a user target function
-        (reference sample_guidance :172-224)."""
+        (reference sample_guidance :172-224). Cached per (fn, std) so
+        repeated sample_guidance calls reuse the compiled program."""
+        key = (target_function, float(std))
+        cached = getattr(self, "_guided_cache", None)
+        if cached is None:
+            cached = self._guided_cache = {}
+        if key in cached:
+            return cached[key]
 
         def fn(params, key, n_nodes, scale):
             node_mask, edge_mask = M.build_masks(
@@ -137,7 +144,9 @@ class Sampler:
             rep = replicated_sharding(self.mesh)
             bs = batch_sharding(self.mesh)
             sh = {"in_shardings": (rep, rep, bs, rep), "out_shardings": (bs, bs, bs, bs)}
-        return jax.jit(fn, **sh)
+        jitted = jax.jit(fn, **sh)
+        cached[key] = jitted
+        return jitted
 
     def sample_guidance(
         self,
