@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 
 from gaudi_tpu.data.mol import load_xyz
-from gaudi_tpu.data.rings import ATOMS_LIST, RINGS_LIST, extract_ring_graph
+from gaudi_tpu.data.rings import RINGS_LIST, extract_ring_graph
 
 MAX_ORIENT = 4  # max orientation candidates per ring (>=2 hetero atoms rare)
 
