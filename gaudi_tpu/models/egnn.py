@@ -107,9 +107,9 @@ class EdgeMLPIn(nn.Module):
     @nn.compact
     def __call__(self, h: jax.Array, edge_attr: jax.Array) -> jax.Array:
         # h: [B, N, H_in], edge_attr: [B, N, N, E] -> [B, N, N, hidden]
-        src = nn.Dense(self.hidden_nf, use_bias=False, dtype=self.dtype, name="src")(h)
-        dst = nn.Dense(self.hidden_nf, use_bias=True, dtype=self.dtype, name="dst")(h)
-        edg = nn.Dense(self.hidden_nf, use_bias=False, dtype=self.dtype, name="edge")(edge_attr)
+        src = nn.Dense(self.hidden_nf, use_bias=False, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="src")(h)
+        dst = nn.Dense(self.hidden_nf, use_bias=True, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="dst")(h)
+        edg = nn.Dense(self.hidden_nf, use_bias=False, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge")(edge_attr)
         return src[:, :, None, :] + dst[:, None, :, :] + edg
 
 
@@ -148,7 +148,7 @@ class DenseGCL(nn.Module):
 
             hh, e = self.hidden_nf, edge_attr.shape[-1]
             h_in = h.shape[-1]
-            init = nn.initializers.lecun_normal()
+            init = TORCH_LINEAR_INIT
             w_src = self.param("w_src", init, (h_in, hh))
             w_dst = self.param("w_dst", init, (h_in, hh))
             b_dst = self.param("b_dst", nn.initializers.zeros, (hh,))
@@ -175,10 +175,10 @@ class DenseGCL(nn.Module):
             # Edge model (reference egnn_new.py:42-57).
             mij = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_attr)
             mij = nn.silu(mij)
-            mij = nn.Dense(self.hidden_nf, dtype=self.dtype, name="edge_out")(mij)
+            mij = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge_out")(mij)
             mij = nn.silu(mij)
             if self.attention:
-                att = nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="att")(mij))
+                att = nn.sigmoid(nn.Dense(1, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="att")(mij))
                 out = mij * att
             else:
                 out = mij
@@ -196,13 +196,24 @@ class DenseGCL(nn.Module):
             raise ValueError(self.aggregation_method)
 
         # Node model (reference egnn_new.py:59-73): residual MLP on [h, agg].
-        upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_in")(
+        upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_in")(
             jnp.concatenate([h, agg], axis=-1)
         )
         upd = nn.silu(upd)
-        upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_out")(upd)
+        upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_out")(upd)
         h = h + upd
         return h * node_mask
+
+
+# torch.nn.Linear's default init (kaiming_uniform(a=sqrt(5))) has variance
+# 1/(3*fan_in) — one third of flax's lecun_normal. With 2-layer edge MLPs,
+# ~11-sender sums and 9 residual blocks the difference compounds to
+# activation explosions at init (observed: initial loss ~1e5 with
+# lecun_normal vs ~10 with this). Matching the reference init keeps the
+# network in the regime the reference's hyperparameters were tuned for.
+TORCH_LINEAR_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
 
 
 def _small_init(scale: float):
@@ -249,7 +260,7 @@ class DenseEquivariantUpdate(nn.Module):
 
             hh, e = self.hidden_nf, edge_attr.shape[-1]
             h_in = h.shape[-1]
-            init = nn.initializers.lecun_normal()
+            init = TORCH_LINEAR_INIT
             w_src = self.param("w_src", init, (h_in, hh))
             w_dst = self.param("w_dst", init, (h_in, hh))
             b_dst = self.param("b_dst", nn.initializers.zeros, (hh,))
@@ -276,7 +287,7 @@ class DenseEquivariantUpdate(nn.Module):
         else:
             m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="coord_in")(h, edge_attr)
             m = nn.silu(m)
-            m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="coord_mid")(m)
+            m = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="coord_mid")(m)
             m = nn.silu(m)
             gate = nn.Dense(
                 1, use_bias=False, kernel_init=_small_init(0.001), dtype=self.dtype,
@@ -396,7 +407,7 @@ class DynamicsEGNN(nn.Module):
         # don't promote bfloat16 activations back to float32
         node_mask = node_mask.astype(self.dtype)
         edge_mask = edge_mask.astype(self.dtype)
-        h = nn.Dense(self.hidden_nf, dtype=self.dtype, name="embedding")(h)
+        h = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="embedding")(h)
         block_cls = nn.remat(EquivariantBlock) if self.remat else EquivariantBlock
         for i in range(self.n_layers):
             h, x = block_cls(
@@ -413,7 +424,7 @@ class DynamicsEGNN(nn.Module):
                 use_fused=self.use_fused,
                 name=f"block_{i}",
             )(h, x, edge_attr0, node_mask, edge_mask)
-        h = nn.Dense(self.out_node_nf, dtype=self.dtype, name="embedding_out")(h)
+        h = nn.Dense(self.out_node_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="embedding_out")(h)
         h = h * node_mask
         return h, x
 

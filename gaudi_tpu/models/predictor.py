@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gaudi_tpu.models.egnn import EdgeMLPIn, _small_init, coord2diff
+from gaudi_tpu.models.egnn import TORCH_LINEAR_INIT, EdgeMLPIn, _small_init, coord2diff
 
 
 class PredictorEGCL(nn.Module):
@@ -60,7 +60,7 @@ class PredictorEGCL(nn.Module):
 
             hh, e = self.hidden_nf, edge_in.shape[-1]
             h_in = h.shape[-1]
-            init = nn.initializers.lecun_normal()
+            init = TORCH_LINEAR_INIT
             w_src = self.param("w_src", init, (h_in, hh))
             w_dst = self.param("w_dst", init, (h_in, hh))
             b_dst = self.param("b_dst", nn.initializers.zeros, (hh,))
@@ -93,25 +93,25 @@ class PredictorEGCL(nn.Module):
                 self.coords_range,
             )
             x = x + trans_sum
-            upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_in")(
+            upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_in")(
                 jnp.concatenate([hd, agg], axis=-1)
             )
             upd = nn.silu(upd)
-            upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_out")(upd)
+            upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_out")(upd)
             h = h + upd if self.recurrent else upd
             return h * node_mask.astype(h.dtype), x * node_mask.astype(x.dtype)
 
         # Edge model (gcl.py:225-238).
         m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_in)
         m = nn.silu(m)
-        m = nn.Dense(self.hidden_nf, dtype=self.dtype, name="edge_out")(m)
+        m = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge_out")(m)
         m = nn.silu(m)
         if self.attention:
-            m = m * nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="att")(m))
+            m = m * nn.sigmoid(nn.Dense(1, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="att")(m))
         m = m * edge_mask[..., None].astype(m.dtype)
 
         # Coordinate model first (gcl.py:252-279, 291-297).
-        gate = nn.Dense(self.hidden_nf, dtype=self.dtype, name="coord_mid")(m)
+        gate = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="coord_mid")(m)
         gate = nn.silu(gate)
         gate = nn.Dense(
             1, use_bias=False, kernel_init=_small_init(0.001), dtype=self.dtype,
@@ -128,11 +128,11 @@ class PredictorEGCL(nn.Module):
 
         # Node model (gcl.py:240-250).
         agg = m.sum(axis=2)
-        upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_in")(
+        upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_in")(
             jnp.concatenate([h, agg], axis=-1)
         )
         upd = nn.silu(upd)
-        upd = nn.Dense(self.hidden_nf, dtype=self.dtype, name="node_out")(upd)
+        upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_out")(upd)
         h = h + upd if self.recurrent else upd
 
         return h * node_mask.astype(h.dtype), x * node_mask.astype(x.dtype)
@@ -180,7 +180,7 @@ class EGNNPredictor(nn.Module):
         edge_attr0, _ = coord2diff(x)
         # coord2diff returns exact squared distances (no eps inside radial).
 
-        h = nn.Dense(self.hidden_nf, dtype=self.dtype, name="embedding")(
+        h = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="embedding")(
             h.astype(self.dtype)
         )
         coords_range_layer = float(self.coords_range) / self.n_layers
@@ -195,7 +195,7 @@ class EGNNPredictor(nn.Module):
                 use_fused=self.use_fused,
                 name=f"gcl_{i}",
             )(h, x, edge_attr0, node_mask.astype(self.dtype), edge_mask.astype(self.dtype))
-        h = nn.Dense(self.out_nf, dtype=self.dtype, name="embedding_out")(h)
+        h = nn.Dense(self.out_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="embedding_out")(h)
         h = h.astype(jnp.float32) * node_mask
 
         if self.mean_over_real_nodes:

@@ -30,12 +30,20 @@ def save_checkpoint(exp_dir: str, state: Any, name: str = "model") -> str:
 def load_checkpoint(
     exp_dir: str, target: Optional[Any] = None, name: str = "model"
 ) -> Any:
-    """Restore a pytree train state; `target` provides structure/shapes."""
+    """Restore a pytree train state; `target` provides structure/shapes.
+
+    Restore args are constructed from the target so checkpoints written on
+    one device type (e.g. TPU) restore onto another (e.g. CPU) — orbax
+    otherwise refuses with a missing-sharding error.
+    """
     path = _path(exp_dir, name)
     ckpt = ocp.PyTreeCheckpointer()
     if target is None:
         return ckpt.restore(path)
-    return ckpt.restore(path, args=ocp.args.PyTreeRestore(target))
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    return ckpt.restore(
+        path, args=ocp.args.PyTreeRestore(target, restore_args=restore_args)
+    )
 
 
 def best_val_tracker():
