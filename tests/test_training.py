@@ -176,3 +176,39 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestInitScale:
+    def test_initial_outputs_are_order_unity(self):
+        """Regression guard for the init-scale bug: with torch-equivalent
+        kernel init, the untrained full-depth dynamics net must produce
+        order-unity eps predictions (lecun_normal exploded to ~1e2-1e3,
+        making the initial loss ~1e5 and training unstable)."""
+        from gaudi_tpu.models.egnn import EGNNDynamics
+        from gaudi_tpu.core import masked as M
+
+        nm, em = M.build_masks(jnp.array([11, 8, 10, 9]), 11)
+        z = M.sample_combined_noise(jax.random.PRNGKey(0), 4, 11, 3, 1, nm)
+        model = EGNNDynamics(in_node_nf=1, hidden_nf=192, n_layers=9)
+        p = model.init(jax.random.PRNGKey(1), jnp.full((4, 1), 0.5), z, nm, em)
+        out = model.apply(p, jnp.full((4, 1), 0.5), z, nm, em)
+        rms = float(jnp.sqrt((out**2).sum() / nm.sum() / out.shape[-1]))
+        assert rms < 5.0, f"untrained output rms {rms} — init scale regression"
+
+    def test_initial_loss_sane(self):
+        from gaudi_tpu.diffusion.edm import EDM
+        from gaudi_tpu.diffusion.schedule import NoiseSchedule
+        from gaudi_tpu.models.egnn import EGNNDynamics
+        from gaudi_tpu.core import masked as M
+
+        nm, em = M.build_masks(jnp.array([11, 8, 10, 9]), 11)
+        x = M.sample_center_gravity_zero_gaussian_with_mask(
+            jax.random.PRNGKey(0), (4, 11, 3), nm
+        ) * 2.0
+        h = jnp.ones((4, 11, 1)) * nm
+        model = EGNNDynamics(in_node_nf=1, hidden_nf=96, n_layers=6)
+        z = jnp.concatenate([x / 3.0, h / 4.0], -1)
+        p = model.init(jax.random.PRNGKey(1), jnp.zeros((4, 1)), z, nm, em)
+        edm = EDM(apply_fn=model.apply, schedule=NoiseSchedule.create("polynomial_2", 100), in_node_nf=1)
+        loss, _ = edm.loss(p, jax.random.PRNGKey(2), x, h, nm, em, training=True)
+        assert float(loss.mean()) < 100.0
