@@ -53,7 +53,7 @@ def sample_molecules(trainer, n_samples, batch_size, std, seed=0, mesh=None):
         b = min(batch_size, remaining)
         counts = trainer.nodes_dist.sample(batch_size, rng)
         key, sub = jax.random.split(key)
-        x, h, node_mask, _ = sampler.sample(trainer.state.params, sub, counts, std)
+        x, h, node_mask, _ = sampler.sample(trainer.sampling_params, sub, counts, std)
         jax.block_until_ready(x)
         mols += to_molecule_list(
             x[:b], h[:b], node_mask[:b],
@@ -142,7 +142,7 @@ def main(argv=None):
 
         sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
         chain = sampler.sample_chain(
-            trainer.state.params, jax.random.PRNGKey(args.seed + 1), std=args.std
+            trainer.sampling_params, jax.random.PRNGKey(args.seed + 1), std=args.std
         )
         plot_chain(np.asarray(chain), f"{args.exp_dir}/eval/chain.gif", cfg.dataset)
 

@@ -130,13 +130,13 @@ def main(argv=None):
 
         with device_trace(args.profile):
             x, h, node_mask, edge_mask = sampler.sample_guidance(
-                edm_trainer.state.params, key, target_fn, counts,
+                edm_trainer.sampling_params, key, target_fn, counts,
                 scale=args.scale, std=args.std,
             )
             jax.block_until_ready(x)
     else:
         x, h, node_mask, edge_mask = sampler.sample_guidance(
-            edm_trainer.state.params, key, target_fn, counts,
+            edm_trainer.sampling_params, key, target_fn, counts,
             scale=args.scale, std=args.std,
         )
     jax.block_until_ready(x)

@@ -62,6 +62,10 @@ class EDMConfig:
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the network ("bfloat16" opts in)
     use_fused: bool = False  # Pallas fused edge kernels (TPU serving path)
+    # EMA of weights for sampling. The reference defines an EMA helper but
+    # never enables it (SURVEY §2.6); 0.0 reproduces that. Nonzero (e.g.
+    # 0.999) is the standard diffusion-quality upgrade.
+    ema_decay: float = 0.0
 
     @property
     def exp_dir(self) -> str:

@@ -68,6 +68,9 @@ def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
 
 
 class EDMTrainer:
+    """See module docstring. `sampling_params` returns EMA weights when
+    EMA is enabled, else the live weights — use it for all sampling."""
+
     def __init__(self, cfg: EDMConfig, datasets=None, mesh=None):
         self.cfg = cfg
         self.mesh = mesh
@@ -91,7 +94,9 @@ class EDMTrainer:
         dummy_nm = jnp.ones((2, n_pad, 1))
         dummy_em = jnp.ones((2, n_pad, n_pad))
         params = self.model.init(key, jnp.zeros((2, 1)), dummy_xh, dummy_nm, dummy_em)
-        self.state = TrainState.create(params, self.optimizer)
+        self.state = TrainState.create(
+            params, self.optimizer, ema=cfg.ema_decay > 0
+        )
         if cfg.restore:
             self.state = load_checkpoint(cfg.restore, self.state)
 
@@ -116,6 +121,14 @@ class EDMTrainer:
                 self._step_impl, static_argnames=("train",), donate_argnums=(0,)
             )
             self._val_step = jax.jit(self._eval_impl)
+
+    @property
+    def sampling_params(self):
+        return (
+            self.state.ema_params
+            if self.state.ema_params is not None
+            else self.state.params
+        )
 
     # ------------------------------------------------------------------
 
@@ -142,8 +155,17 @@ class EDMTrainer:
             grads, state.opt_state, state.params
         )
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        ema_params = state.ema_params
+        if ema_params is not None:
+            d = self.cfg.ema_decay
+            ema_params = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p, ema_params, params
+            )
         new_state = TrainState(
-            params=params, opt_state=opt_state, step=state.step + 1
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            ema_params=ema_params,
         )
         metrics = {"loss": loss, "grad_norm": last_grad_norm(opt_state)}
         return new_state, metrics
@@ -198,14 +220,14 @@ class EDMTrainer:
             rng = np.random.default_rng(epoch)
             counts = self.nodes_dist.sample(n_samples, rng)
             k1, k2 = jax.random.split(key)
-            x, h, nm, _ = sampler.sample(self.state.params, k1, counts, std=0.7)
+            x, h, nm, _ = sampler.sample(self.sampling_params, k1, counts, std=0.7)
             mols = to_molecule_list(x, h, nm, self._orientation, cfg.max_nodes)
             out = f"{cfg.exp_dir}/epoch_{epoch}"
             for i, (xi, ti) in enumerate(mols):
                 plot_graph_of_rings(
                     xi, ti, f"{out}/mol{i}.png", dataset=cfg.dataset
                 )
-            chain = sampler.sample_chain(self.state.params, k2, std=0.7)
+            chain = sampler.sample_chain(self.sampling_params, k2, std=0.7)
             plot_chain(np.asarray(chain), f"{out}/chain.gif", cfg.dataset)
         except Exception as e:  # visualization must never kill training
             print(f"sample visualization failed: {e}")

@@ -212,3 +212,30 @@ class TestInitScale:
         edm = EDM(apply_fn=model.apply, schedule=NoiseSchedule.create("polynomial_2", 100), in_node_nf=1)
         loss, _ = edm.loss(p, jax.random.PRNGKey(2), x, h, nm, em, training=True)
         assert float(loss.mean()) < 100.0
+
+
+class TestEMA:
+    def test_ema_params_track_slowly(self, tiny_exp):
+        import dataclasses
+
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        _, cfg = tiny_exp
+        cfg_ema = dataclasses.replace(cfg, ema_decay=0.9, name="tiny-ema")
+        tr = EDMTrainer(cfg_ema)
+        p0 = jax.tree.leaves(tr.state.params)[0].copy()
+        tr.train_epoch(0, np.random.default_rng(0), jax.random.PRNGKey(0))
+        p1 = jax.tree.leaves(tr.state.params)[0]
+        e1 = jax.tree.leaves(tr.state.ema_params)[0]
+        # ema moved less than live params
+        assert float(jnp.abs(e1 - p0).mean()) < float(jnp.abs(p1 - p0).mean())
+        # sampling_params returns the EMA tree
+        assert tr.sampling_params is tr.state.ema_params
+
+    def test_no_ema_by_default(self, tiny_exp):
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        _, cfg = tiny_exp
+        tr = EDMTrainer(cfg)
+        assert tr.state.ema_params is None
+        assert tr.sampling_params is tr.state.params
