@@ -280,6 +280,7 @@ def generate_dataset(
     max_rings: int = 11,
     seed: int = 0,
     hetero_prob: float = 0.35,
+    jitter: float = 0.02,
 ) -> str:
     """Write <root>/<dataset>.csv + <root>/<dataset>-xyz/*.xyz; returns csv path.
 
@@ -327,6 +328,12 @@ def generate_dataset(
         if dataset == "hetro":
             hetero_plan = _plan_hetero(cells, rng, hetero_prob)
         mol = _patch_to_molecule(cells, hetero_plan or None)
+        if jitter > 0:
+            # mimic xtb-relaxation geometry variation: exact lattice
+            # coordinates form a zero-entropy target that a likelihood
+            # diffusion model cannot fit (the score diverges as sigma->0);
+            # real DFT/xtb datasets carry ~0.01-0.05 A of structural noise
+            mol.coords = mol.coords + rng.normal(0.0, jitter, mol.coords.shape)
 
         canon = (tuple(cells), tuple(sorted(hetero_plan.items())))
         if canon in seen:
