@@ -46,37 +46,19 @@ def load_checkpoint(
             path, args=ocp.args.PyTreeRestore(target, restore_args=restore_args)
         )
     except ValueError:
-        # optional fields (e.g. ema_params) added/removed since the
-        # checkpoint was written — restore the target/disk intersection and
-        # keep target values for everything else
-        from flax import serialization
+        # Known structure drift: `ema_params` was enabled after the
+        # checkpoint was written (or vice versa). Retry with the matching
+        # structure and fill the EMA tree from the restored params.
+        import jax
+        import jax.numpy as jnp
 
-        disk_meta = ckpt.metadata(path)
-        meta_dict = serialization.to_state_dict(disk_meta)
-        state_dict = serialization.to_state_dict(target)
-
-        def prune(t, m):
-            """target subtree restricted to keys that exist on disk."""
-            if isinstance(t, dict) and isinstance(m, dict):
-                return {k: prune(v, m[k]) for k, v in t.items() if k in m}
-            return t
-
-        disk_like = prune(state_dict, meta_dict)
-        restore_args = ocp.checkpoint_utils.construct_restore_args(disk_like)
-        raw = ckpt.restore(
-            path, args=ocp.args.PyTreeRestore(disk_like, restore_args=restore_args)
+        if getattr(target, "ema_params", None) is None:
+            raise
+        bare = target.replace(ema_params=None)
+        restored = load_checkpoint(exp_dir, bare, name)
+        return restored.replace(
+            ema_params=jax.tree.map(jnp.copy, restored.params)
         )
-
-        def merge(t, r):
-            if isinstance(t, dict):
-                return {
-                    k: merge(v, r[k]) if isinstance(r, dict) and k in r else v
-                    for k, v in t.items()
-                }
-            return t if r is None else r
-
-        merged = merge(state_dict, raw)
-        return serialization.from_state_dict(target, merged)
 
 
 def best_val_tracker():
