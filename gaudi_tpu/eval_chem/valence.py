@@ -86,6 +86,22 @@ def molecule_hash(atom_types, bonds, dataset: str = "cata") -> str:
     return nx.weisfeiler_lehman_graph_hash(g, node_attr="label", iterations=4)
 
 
+_RDKIT_CHEM = None  # cached module or False; re-importing on every call is slow
+
+
+def rdkit_chem():
+    """rdkit.Chem when importable (cached), else None."""
+    global _RDKIT_CHEM
+    if _RDKIT_CHEM is None:
+        try:
+            from rdkit import Chem
+
+            _RDKIT_CHEM = Chem
+        except ImportError:
+            _RDKIT_CHEM = False
+    return _RDKIT_CHEM or None
+
+
 def try_rdkit_inchi(atom_types, bonds, dataset: str = "cata"):
     """InChI via RDKit when importable; None if RDKit is absent or fails.
 
@@ -93,9 +109,8 @@ def try_rdkit_inchi(atom_types, bonds, dataset: str = "cata"):
     single bonds + explicit H on degree-2 carbons, infer bond orders, and
     sanitize; single-fragment requirement included.
     """
-    try:
-        from rdkit import Chem
-    except ImportError:
+    Chem = rdkit_chem()
+    if Chem is None:
         return None
     try:
         symbols = [ATOMS_LIST[dataset][int(t)] for t in atom_types]

@@ -1,0 +1,271 @@
+"""Native (C++) host-eval backend, loaded through ctypes.
+
+The reference's chemistry validity path runs on RDKit — a native C++
+library — via vendored xyz2mol (reference data/gor2goa.py:298-324,
+data/xyz2mol.py:538-679). This package is gaudi_tpu's native tier for the
+same role: connectivity / valence / Kekulé-matching validity and
+Weisfeiler-Lehman identity hashing implemented in C++ (chem_native.cpp)
+and auto-built with g++ on first import.
+
+Public surface:
+    available() -> bool
+    valence_valid(atom_types, bonds, dataset) -> bool
+    molecule_identity(atom_types, bonds, dataset) -> str
+    judge_batch(mol_list, dataset) -> (valid: list[bool], identity: list[str|None])
+
+Set GAUDI_NATIVE=0 to force the pure-python fallback
+(gaudi_tpu/eval_chem/valence.py implements identical semantics; the two are
+property-tested against each other in tests/test_native_chem.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "chem_native.cpp")
+_BUILD_DIR = os.path.join(os.path.dirname(_SRC), "_build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libgaudichem.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _compile() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if res.returncode != 0:
+        import sys
+
+        print(f"[gaudi_tpu.native] build failed:\n{res.stderr}", file=sys.stderr)
+        return False
+    return True
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("GAUDI_NATIVE", "1") == "0":
+            return None
+        stale = not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
+        )
+        if stale and not _compile():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.gaudi_valence_valid.restype = ctypes.c_int
+        lib.gaudi_valence_valid.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.gaudi_wl_hash.restype = None
+        lib.gaudi_wl_hash.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.gaudi_judge_batch.restype = None
+        lib.gaudi_judge_batch.argtypes = [
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+_label_cache: dict = {}
+
+
+def _label_u64(symbol: str, implicit_h: int) -> int:
+    """Stable 64-bit label for an (element, implicit-H) class."""
+    key = (symbol, implicit_h)
+    v = _label_cache.get(key)
+    if v is None:
+        v = int.from_bytes(
+            hashlib.blake2b(
+                f"{symbol}H{implicit_h}".encode(), digest_size=8
+            ).digest(),
+            "little",
+        )
+        _label_cache[key] = v
+    return v
+
+
+def _atom_arrays(atom_types, bonds, dataset: str):
+    """Per-atom min-valence / carbon-flag / WL-init-label arrays.
+
+    Initial WL labels encode element + implicit-H class (degree-2 carbons
+    carry one implicit H — reference gor2goa.py:288-293), matching the
+    python backend's node labels.
+    """
+    from gaudi_tpu.data.periodic import ATOM_VALENCES
+    from gaudi_tpu.data.rings import ATOMS_LIST
+
+    symbols = [ATOMS_LIST[dataset][int(t)] for t in atom_types]
+    min_val = np.array(
+        [min(ATOM_VALENCES[s]) for s in symbols], dtype=np.int32
+    )
+    is_c = np.array([s == "C" for s in symbols], dtype=np.uint8)
+    deg = np.zeros(len(symbols), np.int64)
+    for a, c in bonds:
+        deg[int(a)] += 1
+        deg[int(c)] += 1
+    labels = np.array(
+        [
+            _label_u64(s, 1 if (s == "C" and deg[i] == 2) else 0)
+            for i, s in enumerate(symbols)
+        ],
+        dtype=np.uint64,
+    )
+    return min_val, is_c, labels
+
+
+def _bond_array(bonds) -> np.ndarray:
+    b = np.asarray(bonds, dtype=np.int32)
+    if b.size == 0:
+        return np.zeros((0, 2), np.int32)
+    return np.ascontiguousarray(b.reshape(-1, 2))
+
+
+def valence_valid(atom_types, bonds, dataset: str = "cata") -> bool:
+    lib = _load()
+    assert lib is not None, "native backend unavailable"
+    if len(atom_types) == 0 or len(bonds) == 0:
+        return False
+    b = _bond_array(bonds)
+    min_val, is_c, _ = _atom_arrays(atom_types, b, dataset)
+    if (b < 0).any() or (b >= len(min_val)).any():
+        return False
+    return bool(
+        lib.gaudi_valence_valid(
+            len(min_val),
+            _ptr(min_val, ctypes.c_int32),
+            _ptr(is_c, ctypes.c_uint8),
+            b.shape[0],
+            _ptr(b, ctypes.c_int32),
+        )
+    )
+
+
+def molecule_identity(
+    atom_types, bonds, dataset: str = "cata", iterations: int = 4
+) -> str:
+    """Canonical WL identity (hex). Backend-stable, not InChI-comparable."""
+    lib = _load()
+    assert lib is not None, "native backend unavailable"
+    b = _bond_array(bonds)
+    _, _, labels = _atom_arrays(atom_types, b, dataset)
+    out = np.zeros(2, np.uint64)
+    lib.gaudi_wl_hash(
+        len(labels),
+        _ptr(labels, ctypes.c_uint64),
+        b.shape[0],
+        _ptr(b, ctypes.c_int32),
+        iterations,
+        _ptr(out, ctypes.c_uint64),
+    )
+    return f"wl:{int(out[0]):016x}{int(out[1]):016x}"
+
+
+def judge_batch(mol_list, dataset: str = "cata", iterations: int = 4):
+    """Validity + identity for [(atom_types, bonds)] in one native call.
+
+    Returns (valid: list[bool], identity: list[str|None]); identity is None
+    for invalid molecules. Molecules with no atoms or no bonds are invalid
+    (matches the python backend).
+    """
+    lib = _load()
+    assert lib is not None, "native backend unavailable"
+    n = len(mol_list)
+    atoms_off = np.zeros(n + 1, np.int64)
+    bonds_off = np.zeros(n + 1, np.int64)
+    mins, carbons, labels, bond_rows = [], [], [], []
+    degenerate = np.zeros(n, bool)
+    for i, (atom_types, bonds) in enumerate(mol_list):
+        b = _bond_array(bonds)
+        if len(atom_types) == 0 or b.shape[0] == 0 or (b < 0).any() or (
+            b >= len(atom_types)
+        ).any():
+            degenerate[i] = True
+            atoms_off[i + 1] = atoms_off[i]
+            bonds_off[i + 1] = bonds_off[i]
+            continue
+        mv, ic, lb = _atom_arrays(atom_types, b, dataset)
+        mins.append(mv)
+        carbons.append(ic)
+        labels.append(lb)
+        bond_rows.append(b)
+        atoms_off[i + 1] = atoms_off[i] + len(mv)
+        bonds_off[i + 1] = bonds_off[i] + b.shape[0]
+
+    min_val = np.concatenate(mins) if mins else np.zeros(0, np.int32)
+    is_c = np.concatenate(carbons) if carbons else np.zeros(0, np.uint8)
+    lab = np.concatenate(labels) if labels else np.zeros(0, np.uint64)
+    bnd = (
+        np.concatenate(bond_rows)
+        if bond_rows
+        else np.zeros((0, 2), np.int32)
+    )
+    valid = np.zeros(n, np.uint8)
+    hashes = np.zeros(2 * n, np.uint64)
+    lib.gaudi_judge_batch(
+        n,
+        _ptr(atoms_off, ctypes.c_int64),
+        _ptr(bonds_off, ctypes.c_int64),
+        _ptr(min_val, ctypes.c_int32),
+        _ptr(is_c, ctypes.c_uint8),
+        _ptr(lab, ctypes.c_uint64),
+        _ptr(bnd, ctypes.c_int32),
+        iterations,
+        _ptr(valid, ctypes.c_uint8),
+        _ptr(hashes, ctypes.c_uint64),
+    )
+    valid_l, ident_l = [], []
+    for i in range(n):
+        ok = bool(valid[i]) and not degenerate[i]
+        valid_l.append(ok)
+        ident_l.append(
+            f"wl:{int(hashes[2*i]):016x}{int(hashes[2*i+1]):016x}" if ok else None
+        )
+    return valid_l, ident_l
