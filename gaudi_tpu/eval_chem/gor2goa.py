@@ -159,7 +159,12 @@ def gor2goa(x: np.ndarray, ring_types: np.ndarray, dataset: str = "cata", tol: f
         idx = len(out_pos)
         for m in members:
             new_index[m] = idx
-        out_pos.append(atoms[members].mean(axis=0))
+        # groups are almost always singletons or fused pairs; plain
+        # arithmetic avoids ~40 numpy-mean dispatches per molecule
+        if len(members) == 1:
+            out_pos.append(atoms[members[0]])
+        else:
+            out_pos.append(sum(atoms[m] for m in members) / len(members))
         out_elems.append(atom_elems[members[0]])
     out_bonds = {tuple(sorted((new_index[a], new_index[b]))) for a, b in bonds}
     out_bonds = [list(b) for b in sorted(out_bonds) if b[0] != b[1]]
