@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-samples", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=0, help="0 = n_samples")
     p.add_argument("--std", type=float, default=0.7)
+    p.add_argument("--n-steps", type=int, default=0,
+                   help="0 = full T reverse steps (reference); K < T uses "
+                        "the strided few-step sampler (~T/K speedup)")
     p.add_argument("--tol", type=float, default=0.1)
     p.add_argument("--novelty", action="store_true")
     p.add_argument("--plots", type=int, default=5, help="save N stable/unstable plots")
@@ -35,7 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def sample_molecules(trainer, n_samples, batch_size, std, seed=0, mesh=None):
+def sample_molecules(
+    trainer, n_samples, batch_size, std, seed=0, mesh=None, n_steps=None
+):
     """Returns (molecule list for eval, wall-clock seconds)."""
     import jax
 
@@ -53,7 +58,9 @@ def sample_molecules(trainer, n_samples, batch_size, std, seed=0, mesh=None):
         b = min(batch_size, remaining)
         counts = trainer.nodes_dist.sample(batch_size, rng)
         key, sub = jax.random.split(key)
-        x, h, node_mask, _ = sampler.sample(trainer.sampling_params, sub, counts, std)
+        x, h, node_mask, _ = sampler.sample(
+            trainer.sampling_params, sub, counts, std, n_steps=n_steps
+        )
         jax.block_until_ready(x)
         mols += to_molecule_list(
             x[:b], h[:b], node_mask[:b],
@@ -87,11 +94,13 @@ def main(argv=None):
 
         with device_trace(args.profile):
             mols, secs = sample_molecules(
-                trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh
+                trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh,
+                n_steps=args.n_steps or None,
             )
     else:
         mols, secs = sample_molecules(
-            trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh
+            trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh,
+            n_steps=args.n_steps or None,
         )
     print(f"sampled {len(mols)} molecules in {secs:.2f}s "
           f"({len(mols)/secs:.1f} mol/s)")

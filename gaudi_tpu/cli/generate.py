@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-nodes", type=int, default=10)
     p.add_argument("--target", default="min:GAP_eV")
     p.add_argument("--std", type=float, default=1.0)
+    p.add_argument("--n-steps", type=int, default=0,
+                   help="0 = full T reverse steps (reference); K < T uses "
+                        "the strided few-step sampler (~T/K speedup)")
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--out-dir", default="best")
     p.add_argument("--platform", default="")
@@ -131,13 +134,13 @@ def main(argv=None):
         with device_trace(args.profile):
             x, h, node_mask, edge_mask = sampler.sample_guidance(
                 edm_trainer.sampling_params, key, target_fn, counts,
-                scale=args.scale, std=args.std,
+                scale=args.scale, std=args.std, n_steps=args.n_steps or None,
             )
             jax.block_until_ready(x)
     else:
         x, h, node_mask, edge_mask = sampler.sample_guidance(
             edm_trainer.sampling_params, key, target_fn, counts,
-            scale=args.scale, std=args.std,
+            scale=args.scale, std=args.std, n_steps=args.n_steps or None,
         )
     jax.block_until_ready(x)
     gen_secs = time.time() - t0

@@ -409,17 +409,33 @@ class EDM:
         zs = self._project_z(zs, node_mask)
         return jnp.nan_to_num(zs, nan=0.0)
 
-    def _scan_reverse(self, step_fn, key, z0):
-        """Run step_fn for s = T-1 .. 0 under lax.scan."""
-        steps = jnp.arange(self.T - 1, -1, -1)
-        keys = jax.random.split(key, self.T)
+    def _reverse_grid(self, n_steps: Optional[int] = None):
+        """(t_indices, s_indices) for the reverse scan, each [K] int32.
+
+        n_steps=None (or T) reproduces the reference's full T-step ancestral
+        sampler exactly: t = T..1, s = t-1. A smaller K strides the schedule
+        (t_k = round(linspace(T, 0, K+1))) — the posterior algebra in
+        `_posterior_mu_sigma` is exact for any s < t, so this is ancestral
+        sampling on a sub-schedule (a DDPM-style few-step sampler), giving
+        ~T/K throughput at a small quality cost.
+        """
+        K = int(n_steps) if n_steps else self.T
+        ts = np.round(np.linspace(self.T, 0, K + 1)).astype(np.int32)
+        if len(np.unique(ts)) != K + 1:
+            raise ValueError(f"n_steps={K} too large for T={self.T}")
+        return jnp.asarray(ts[:-1]), jnp.asarray(ts[1:])
+
+    def _scan_reverse(self, step_fn, key, z0, n_steps: Optional[int] = None):
+        """Run step_fn(z, s_idx, t_idx, key) over the reverse grid."""
+        t_idx, s_idx = self._reverse_grid(n_steps)
+        keys = jax.random.split(key, t_idx.shape[0])
 
         def body(z, inp):
-            s_idx, k = inp
-            z = step_fn(z, s_idx, k)
+            s_i, t_i, k = inp
+            z = step_fn(z, s_i, t_i, k)
             return z, None
 
-        z, _ = jax.lax.scan(body, z0, (steps, keys))
+        z, _ = jax.lax.scan(body, z0, (s_idx, t_idx, keys))
         return z
 
     def sample_xh_given_z0(
@@ -461,11 +477,13 @@ class EDM:
         edge_mask: jax.Array,
         context: Optional[jax.Array] = None,
         std: float = 1.0,
+        n_steps: Optional[int] = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Unconditional generation (en_diffusion.py:958-1008).
 
         `std` scales only the initial prior noise (temperature knob;
-        sampling_edm.py:128 uses 0.7 for unconditional).
+        sampling_edm.py:128 uses 0.7 for unconditional). `n_steps` < T
+        selects the strided few-step sampler (see `_reverse_grid`).
         """
         b, n = node_mask.shape[0], node_mask.shape[1]
         k_init, k_scan, k_final = jax.random.split(key, 3)
@@ -473,14 +491,14 @@ class EDM:
             k_init, b, n, self.n_dims, self.in_node_nf, node_mask, std
         )
 
-        def step(z, s_idx, k):
+        def step(z, s_idx, t_idx, k):
             s = jnp.full((b, 1), s_idx, jnp.float32) / self.T
-            t = jnp.full((b, 1), s_idx + 1, jnp.float32) / self.T
+            t = jnp.full((b, 1), t_idx, jnp.float32) / self.T
             return self.sample_zs_given_zt(
                 params, k, s, t, z, node_mask, edge_mask, context
             )
 
-        z = self._scan_reverse(step, k_scan, z)
+        z = self._scan_reverse(step, k_scan, z, n_steps)
         x, h = self.sample_xh_given_z0(
             params, k_final, z, node_mask, edge_mask, context
         )
@@ -498,6 +516,7 @@ class EDM:
         edge_mask: jax.Array,
         scale: float = 1.0,
         std: float = 1.0,
+        n_steps: Optional[int] = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Classifier-guided generation (en_diffusion.py:1010-1067)."""
         b, n = node_mask.shape[0], node_mask.shape[1]
@@ -506,14 +525,14 @@ class EDM:
             k_init, b, n, self.n_dims, self.in_node_nf, node_mask, std
         )
 
-        def step(z, s_idx, k):
+        def step(z, s_idx, t_idx, k):
             s = jnp.full((b, 1), s_idx, jnp.float32) / self.T
-            t = jnp.full((b, 1), s_idx + 1, jnp.float32) / self.T
+            t = jnp.full((b, 1), t_idx, jnp.float32) / self.T
             return self.sample_zs_given_zt_guidance(
                 params, k, s, t, z, node_mask, edge_mask, target_function, scale
             )
 
-        z = self._scan_reverse(step, k_scan, z)
+        z = self._scan_reverse(step, k_scan, z, n_steps)
         x, h = self.sample_xh_given_z0(params, k_final, z, node_mask, edge_mask)
         x = M.remove_mean_with_mask(x, node_mask)
         return x, h
@@ -527,6 +546,7 @@ class EDM:
         context: Optional[jax.Array] = None,
         keep_frames: int = 100,
         std: float = 1.0,
+        n_steps: Optional[int] = None,
     ) -> jax.Array:
         """Generation that records intermediate frames for visualization.
 
@@ -541,14 +561,14 @@ class EDM:
         )
         chain = jnp.zeros((keep_frames,) + z.shape, z.dtype)
 
-        steps = jnp.arange(self.T - 1, -1, -1)
-        keys = jax.random.split(k_scan, self.T)
+        t_grid, s_grid = self._reverse_grid(n_steps)
+        keys = jax.random.split(k_scan, t_grid.shape[0])
 
         def body(carry, inp):
             z, chain = carry
-            s_idx, k = inp
+            s_idx, t_idx, k = inp
             s = jnp.full((b, 1), s_idx, jnp.float32) / self.T
-            t = jnp.full((b, 1), s_idx + 1, jnp.float32) / self.T
+            t = jnp.full((b, 1), t_idx, jnp.float32) / self.T
             z = self.sample_zs_given_zt(
                 params, k, s, t, z, node_mask, edge_mask, context
             )
@@ -558,7 +578,7 @@ class EDM:
             )
             return (z, chain), None
 
-        (z, chain), _ = jax.lax.scan(body, (z, chain), (steps, keys))
+        (z, chain), _ = jax.lax.scan(body, (z, chain), (s_grid, t_grid, keys))
 
         x, h = self.sample_xh_given_z0(
             params, k_final, z, node_mask, edge_mask, context

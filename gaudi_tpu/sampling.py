@@ -68,54 +68,61 @@ class Sampler:
         return {"in_shardings": (rep, rep, bs), "out_shardings": (bs, bs, bs, bs)}
 
     @lru_cache(maxsize=8)
-    def _jit_sample(self, std: float):
+    def _jit_sample(self, std: float, n_steps=None):
         def fn(params, key, n_nodes):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
             )
-            x, h = self.edm.sample(params, key, node_mask, edge_mask, std=std)
+            x, h = self.edm.sample(
+                params, key, node_mask, edge_mask, std=std, n_steps=n_steps
+            )
             return x, h, node_mask, edge_mask
 
         return jax.jit(fn, **self._shardings())
 
     @lru_cache(maxsize=8)
-    def _jit_chain(self, std: float, keep_frames: int):
+    def _jit_chain(self, std: float, keep_frames: int, n_steps=None):
         def fn(params, key, n_nodes):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
             )
             return self.edm.sample_chain(
-                params, key, node_mask, edge_mask, keep_frames=keep_frames, std=std
+                params, key, node_mask, edge_mask, keep_frames=keep_frames,
+                std=std, n_steps=n_steps,
             )
 
         return jax.jit(fn)
 
-    def sample(self, params, key, nodesxsample, std: float = 0.7):
+    def sample(self, params, key, nodesxsample, std: float = 0.7, n_steps=None):
         """Unconditional molecules (reference sample_pos_edm :128-169).
 
         nodesxsample: [B] ring counts. Returns (x, h_onehot, node_mask,
-        edge_mask) with x CoM-free and masked.
+        edge_mask) with x CoM-free and masked. n_steps < T opts into the
+        strided few-step sampler (beyond-reference throughput knob).
         """
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
-        return self._jit_sample(float(std))(params, key, n_nodes)
+        return self._jit_sample(float(std), n_steps)(params, key, n_nodes)
 
     def sample_chain(
-        self, params, key, n_nodes: int = 10, keep_frames: int = 100, std: float = 0.7
+        self, params, key, n_nodes: int = 10, keep_frames: int = 100,
+        std: float = 0.7, n_steps=None,
     ):
         """Single-molecule denoising trajectory for visualization
         (reference sample_chain_pos :65-116). Returns [keep_frames, N', 3+K]
         oldest-noise-first."""
         counts = jnp.full((1,), n_nodes, jnp.int32)
-        chain = self._jit_chain(float(std), int(keep_frames))(params, key, counts)
+        chain = self._jit_chain(float(std), int(keep_frames), n_steps)(
+            params, key, counts
+        )
         return chain[::-1, 0]  # frame 0 noisiest, last frame = final sample
 
     def make_guided_sampler(
-        self, target_function: TargetFn, std: float = 1.0
+        self, target_function: TargetFn, std: float = 1.0, n_steps=None
     ) -> Callable:
         """Compile a guided sampler for a user target function
-        (reference sample_guidance :172-224). Cached per (fn, std) so
-        repeated sample_guidance calls reuse the compiled program."""
-        key = (target_function, float(std))
+        (reference sample_guidance :172-224). Cached per (fn, std, n_steps)
+        so repeated sample_guidance calls reuse the compiled program."""
+        key = (target_function, float(std), n_steps)
         cached = getattr(self, "_guided_cache", None)
         if cached is None:
             cached = self._guided_cache = {}
@@ -134,6 +141,7 @@ class Sampler:
                 edge_mask,
                 scale=scale,
                 std=std,
+                n_steps=n_steps,
             )
             return x, h, node_mask, edge_mask
 
@@ -156,8 +164,9 @@ class Sampler:
         nodesxsample,
         scale: float = 1.0,
         std: float = 1.0,
+        n_steps=None,
     ):
-        fn = self.make_guided_sampler(target_function, std)
+        fn = self.make_guided_sampler(target_function, std, n_steps)
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
         return fn(params, key, n_nodes, jnp.float32(scale))
 
