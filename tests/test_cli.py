@@ -95,6 +95,17 @@ class TestCLI:
         )
         assert np.isfinite(out["mean_target"])
 
+    def test_check_dataset_oracle(self, workspace):
+        from gaudi_tpu.cli import check_dataset
+
+        out = check_dataset.main(
+            ["--dataset", "cata", "--data-root", workspace,
+             "--max-molecules", "40", "--target-features", "GAP_eV"]
+        )
+        # ground-truth molecules must pass their own checkers (~100%)
+        assert out["mol_stable"] == 1.0
+        assert out["mol_valid"] == 1.0
+
     def test_synthetic_flag_generates_missing_data(self, tmp_path):
         root = str(tmp_path)
         res = train_edm.main(
