@@ -74,7 +74,22 @@ def gor2goa(x: np.ndarray, ring_types: np.ndarray, dataset: str = "cata", tol: f
 
     x: [N', 3] ring-node coordinates (N' includes orientation nodes for
     hetro); ring_types: [N'] ints into RINGS_LIST[dataset].
+
+    Dispatches to the native C++ implementation (gaudi_tpu.native.gor2goa,
+    property-tested to produce identical atom graphs) when available;
+    `gor2goa_py` is the always-available pure-python path.
     """
+    from gaudi_tpu import native
+
+    if native.available():
+        return native.gor2goa(x, ring_types, dataset, tol)
+    return gor2goa_py(x, ring_types, dataset, tol)
+
+
+def gor2goa_py(
+    x: np.ndarray, ring_types: np.ndarray, dataset: str = "cata", tol: float = 0.1
+):
+    """Pure-python GOR->GOA (reference data/gor2goa.py:133-261 rebuild)."""
     x = np.asarray(x, np.float64)
     ring_types = np.asarray(ring_types, np.int64)
     n = x.shape[0] // 2 if dataset == "hetro" else x.shape[0]

@@ -89,6 +89,31 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.gaudi_gor2goa.restype = ctypes.c_int
+        lib.gaudi_gor2goa.argtypes = [
+            ctypes.c_int,                      # n_total
+            ctypes.POINTER(ctypes.c_double),   # x [n,3]
+            ctypes.POINTER(ctypes.c_double),   # xy [n,2] aligned frame
+            ctypes.POINTER(ctypes.c_int32),    # types
+            ctypes.c_int,                      # orientation_mode
+            ctypes.c_int,                      # K
+            ctypes.POINTER(ctypes.c_double),   # win_lo
+            ctypes.POINTER(ctypes.c_double),   # win_hi
+            ctypes.POINTER(ctypes.c_int32),    # tmpl_size
+            ctypes.POINTER(ctypes.c_double),   # tmpl_xy
+            ctypes.POINTER(ctypes.c_int32),    # slot_elem
+            ctypes.POINTER(ctypes.c_uint8),    # no_orient
+            ctypes.POINTER(ctypes.c_double),   # orient_offset
+            ctypes.POINTER(ctypes.c_int32),    # h_slot
+            ctypes.c_int32,                    # h_elem_idx
+            ctypes.c_double,                   # tol
+            ctypes.POINTER(ctypes.c_double),   # out_pos
+            ctypes.POINTER(ctypes.c_int32),    # out_elem
+            ctypes.POINTER(ctypes.c_int32),    # out_bonds
+            ctypes.c_int,                      # cap
+            ctypes.c_int,                      # capb
+            ctypes.POINTER(ctypes.c_int32),    # out_n
+        ]
         lib.gaudi_judge_batch.restype = None
         lib.gaudi_judge_batch.argtypes = [
             ctypes.c_int,
@@ -206,6 +231,112 @@ def molecule_identity(
         _ptr(out, ctypes.c_uint64),
     )
     return f"wl:{int(out[0]):016x}{int(out[1]):016x}"
+
+
+_H_SLOTS = {"Bl": [4], "Pl": [4], "DhDb": [2, 5]}
+_gor_vocab_cache: dict = {}
+
+
+def _gor2goa_vocab(dataset: str):
+    """Flattened vocabulary arrays for the native gor2goa (cached)."""
+    v = _gor_vocab_cache.get(dataset)
+    if v is not None:
+        return v
+    from gaudi_tpu.data.rings import (
+        ATOMS_LIST,
+        NO_ORIENTATION_RINGS,
+        RINGS_DICT,
+        RINGS_LIST,
+    )
+    from gaudi_tpu.eval_chem.gor2goa import RING_TEMPLATES
+    from gaudi_tpu.eval_chem.stability import _distance_window_matrices
+
+    names = RINGS_LIST[dataset]
+    atoms = ATOMS_LIST[dataset]
+    k = len(names)
+    lo, hi, _ = _distance_window_matrices(dataset)
+    tmpl_size = np.zeros(k, np.int32)
+    tmpl_xy = np.zeros((k, 6, 2), np.float64)
+    slot_elem = np.full((k, 6), -1, np.int32)
+    no_orient = np.zeros(k, np.uint8)
+    offset = np.zeros(k, np.float64)
+    h_slot = np.full((k, 2), -1, np.int32)
+    for i, nm in enumerate(names):
+        t = RING_TEMPLATES.get(nm)
+        if t is None:
+            continue  # e.g. the '.' orientation pseudo-class: no template
+        tmpl_size[i] = len(t)
+        tmpl_xy[i, : len(t)] = t
+        slot_elem[i, : len(t)] = [atoms.index(e) for e in RINGS_DICT[nm]]
+        no_orient[i] = nm in NO_ORIENTATION_RINGS
+        offset[i] = np.pi / 6 if nm == "Bn" else np.pi / 4
+        for j, s in enumerate(_H_SLOTS.get(nm, [])):
+            h_slot[i, j] = s
+    v = {
+        "K": k,
+        "lo": np.ascontiguousarray(lo, np.float64),
+        "hi": np.ascontiguousarray(hi, np.float64),
+        "tmpl_size": tmpl_size,
+        "tmpl_xy": np.ascontiguousarray(tmpl_xy),
+        "slot_elem": np.ascontiguousarray(slot_elem),
+        "no_orient": no_orient,
+        "offset": offset,
+        "h_slot": np.ascontiguousarray(h_slot),
+        "h_idx": atoms.index("H"),
+    }
+    _gor_vocab_cache[dataset] = v
+    return v
+
+
+def gor2goa(x, ring_types, dataset: str = "cata", tol: float = 0.1):
+    """Native GOR->GOA expansion. Same contract as eval_chem.gor2goa:
+    (positions [M,2], atom_type_indices, bonds list). Raises ValueError on
+    unexpandable inputs (matching the python path's exceptions)."""
+    lib = _load()
+    assert lib is not None, "native backend unavailable"
+    from gaudi_tpu.data.mol import align_to_xy_plane
+
+    v = _gor2goa_vocab(dataset)
+    x = np.ascontiguousarray(np.asarray(x, np.float64))
+    types = np.ascontiguousarray(np.asarray(ring_types, np.int64), np.int32)
+    n_total = x.shape[0]
+    # alignment stays in numpy: the frame (incl. its reflection) must be
+    # bit-identical to the python path — template placement is chiral
+    xy = np.ascontiguousarray(align_to_xy_plane(x)[:, :2], np.float64)
+    cap, capb = 16 + 8 * max(n_total, 1), 32 + 16 * max(n_total, 1)
+    out_pos = np.zeros((cap, 2), np.float64)
+    out_elem = np.zeros(cap, np.int32)
+    out_bonds = np.zeros((capb, 2), np.int32)
+    out_n = np.zeros(2, np.int32)
+    rc = lib.gaudi_gor2goa(
+        n_total,
+        _ptr(x, ctypes.c_double),
+        _ptr(xy, ctypes.c_double),
+        _ptr(types, ctypes.c_int32),
+        1 if dataset == "hetro" else 0,
+        v["K"],
+        _ptr(v["lo"], ctypes.c_double),
+        _ptr(v["hi"], ctypes.c_double),
+        _ptr(v["tmpl_size"], ctypes.c_int32),
+        _ptr(v["tmpl_xy"], ctypes.c_double),
+        _ptr(v["slot_elem"], ctypes.c_int32),
+        _ptr(v["no_orient"], ctypes.c_uint8),
+        _ptr(v["offset"], ctypes.c_double),
+        _ptr(v["h_slot"], ctypes.c_int32),
+        np.int32(v["h_idx"]),
+        float(tol),
+        _ptr(out_pos, ctypes.c_double),
+        _ptr(out_elem, ctypes.c_int32),
+        _ptr(out_bonds, ctypes.c_int32),
+        cap,
+        capb,
+        _ptr(out_n, ctypes.c_int32),
+    )
+    if rc != 0:
+        raise ValueError(f"gor2goa native failed (rc={rc})")
+    m, nb = int(out_n[0]), int(out_n[1])
+    bonds = [list(map(int, out_bonds[e])) for e in range(nb)]
+    return out_pos[:m].copy(), out_elem[:m].astype(np.int64), bonds
 
 
 def judge_batch(mol_list, dataset: str = "cata", iterations: int = 4):

@@ -15,6 +15,8 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <cmath>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -267,6 +269,200 @@ void gaudi_judge_batch(int n_mols, const int64_t* atoms_off,
             hash_out[2 * i + 1] = 0;
         }
     }
+}
+
+}  // extern "C"
+
+// ----------------------------------------------------------------------
+// GOR -> GOA: expand a graph-of-rings to a graph-of-atoms.
+// Native implementation of gaudi_tpu/eval_chem/gor2goa.py (itself a rebuild
+// of reference data/gor2goa.py:133-261): ring adjacency from type-pair
+// distance windows, inertia-plane alignment, template-polygon expansion
+// rotated per orientation handle, fusion-bond contraction by closest-pair
+// matching under a union-find.
+
+extern "C" {
+
+// Inputs: one molecule with n_total ring rows — raw 3-D coords `x` (used
+// for the distance-window adjacency) plus the inertia-aligned 2-D frame
+// `xy` (computed by the python wrapper with numpy.linalg.eigh so the frame
+// — including its reflection — is bit-identical to the python path;
+// template placement is chirality-sensitive, so the frame must match).
+// orientation_mode=1 means the second half are orientation pseudo-nodes.
+// Vocabulary arrays (K ring types) come from the python wrapper so the
+// tables live in one place. Outputs 2-D atom positions (alignment frame),
+// atom-type indices, and a deduplicated bond list. Returns 0 on success,
+// -1 bad ring type / no template, -2 capacity exceeded.
+int gaudi_gor2goa(
+    int n_total, const double* x, const double* xy_in, const int32_t* types,
+    int orientation_mode,
+    int K, const double* win_lo, const double* win_hi,
+    const int32_t* tmpl_size, const double* tmpl_xy, const int32_t* slot_elem,
+    const uint8_t* no_orient, const double* orient_offset,
+    const int32_t* h_slot, int32_t h_elem_idx, double tol,
+    double* out_pos, int32_t* out_elem, int32_t* out_bonds,
+    int cap, int capb, int32_t* out_n) {
+    int n = orientation_mode ? n_total / 2 : n_total;
+    if (n <= 0) return -1;
+    for (int i = 0; i < n; ++i)
+        if (types[i] < 0 || types[i] >= K || tmpl_size[types[i]] <= 0)
+            return -1;
+
+    // ring adjacency from 3-D distance windows (positions2adj semantics)
+    std::vector<char> adj(n * n, 0);
+    for (int i = 0; i < n; ++i) {
+        for (int j = i + 1; j < n; ++j) {
+            double d = 0;
+            for (int c = 0; c < 3; ++c) {
+                double dd = x[3 * i + c] - x[3 * j + c];
+                d += dd * dd;
+            }
+            d = std::sqrt(d);
+            double lo = win_lo[types[i] * K + types[j]];
+            double hi = win_hi[types[i] * K + types[j]];
+            if (d > lo * (1.0 - tol) && d < hi * (1.0 + tol))
+                adj[i * n + j] = adj[j * n + i] = 1;
+        }
+    }
+
+    const double* xy = xy_in;
+
+    // template expansion
+    int n_atoms = 0, n_bonds = 0;
+    std::vector<int> ring_start(n), ring_size(n);
+    auto add_bond = [&](int a, int b) -> bool {
+        if (n_bonds >= capb) return false;
+        out_bonds[2 * n_bonds] = a;
+        out_bonds[2 * n_bonds + 1] = b;
+        ++n_bonds;
+        return true;
+    };
+    for (int i = 0; i < n; ++i) {
+        int ti = types[i];
+        int k = tmpl_size[ti];
+        double angle;
+        double cx = xy[2 * i], cy = xy[2 * i + 1];
+        if (no_orient[ti]) {
+            angle = 0.0;
+            for (int j = 0; j < n; ++j) {
+                if (adj[i * n + j]) {
+                    angle = std::atan2(xy[2 * j + 1] - cy, xy[2 * j] - cx);
+                    break;
+                }
+            }
+            angle += orient_offset[ti];
+        } else {
+            double ox = xy[2 * (n + i)], oy = xy[2 * (n + i) + 1];
+            angle = std::atan2(oy - cy, ox - cx);
+        }
+        double ca = std::cos(angle), sa = std::sin(angle);
+        ring_start[i] = n_atoms;
+        ring_size[i] = k;
+        if (n_atoms + k + 2 > cap) return -2;
+        for (int s = 0; s < k; ++s) {
+            double px = tmpl_xy[(ti * 6 + s) * 2];
+            double py = tmpl_xy[(ti * 6 + s) * 2 + 1];
+            out_pos[2 * (n_atoms + s)] = px * ca - py * sa + cx;
+            out_pos[2 * (n_atoms + s) + 1] = px * sa + py * ca + cy;
+            out_elem[n_atoms + s] = slot_elem[ti * 6 + s];
+            if (!add_bond(n_atoms + s, n_atoms + (s + 1) % k)) return -2;
+        }
+        n_atoms += k;
+        for (int hs = 0; hs < 2; ++hs) {
+            int slot = h_slot[ti * 2 + hs];
+            if (slot < 0) continue;
+            if (n_atoms >= cap) return -2;
+            int base = ring_start[i] + slot;
+            out_pos[2 * n_atoms] =
+                out_pos[2 * base] + (out_pos[2 * base] - cx) * 0.4;
+            out_pos[2 * n_atoms + 1] =
+                out_pos[2 * base + 1] + (out_pos[2 * base + 1] - cy) * 0.4;
+            out_elem[n_atoms] = h_elem_idx;
+            if (!add_bond(base, n_atoms)) return -2;
+            ++n_atoms;
+        }
+    }
+
+    // fusion contraction: per adjacent ring pair, union the two closest
+    // inter-ring atom pairs (ring slots only, not explicit H)
+    DSU dsu(n_atoms);
+    struct PD {
+        double d;
+        int pi, pj;
+    };
+    std::vector<PD> pd;
+    for (int i = 0; i < n; ++i) {
+        for (int j = i + 1; j < n; ++j) {
+            if (!adj[i * n + j]) continue;
+            pd.clear();
+            for (int a = 0; a < ring_size[i]; ++a) {
+                for (int b = 0; b < ring_size[j]; ++b) {
+                    int ia = ring_start[i] + a, ib = ring_start[j] + b;
+                    double dx = out_pos[2 * ia] - out_pos[2 * ib];
+                    double dy = out_pos[2 * ia + 1] - out_pos[2 * ib + 1];
+                    pd.push_back({dx * dx + dy * dy, ia, ib});
+                }
+            }
+            std::sort(pd.begin(), pd.end(), [](const PD& u, const PD& v) {
+                if (u.d != v.d) return u.d < v.d;
+                if (u.pi != v.pi) return u.pi < v.pi;
+                return u.pj < v.pj;
+            });
+            int picked = 0;
+            std::vector<char> used_i(n_atoms, 0), used_j(n_atoms, 0);
+            for (const PD& e : pd) {
+                if (used_i[e.pi] || used_j[e.pj]) continue;
+                dsu.unite(e.pi, e.pj);
+                used_i[e.pi] = used_j[e.pj] = 1;
+                if (++picked == 2) break;
+            }
+        }
+    }
+
+    // collapse classes (first-occurrence order), average positions
+    std::vector<int> new_idx(n_atoms, -1), root_of(n_atoms);
+    std::vector<double> acc_x, acc_y;
+    std::vector<int> cnt;
+    std::vector<int32_t> elem_out;
+    int m = 0;
+    for (int a = 0; a < n_atoms; ++a) {
+        int r = dsu.find(a);
+        root_of[a] = r;
+        if (new_idx[r] == -1) {
+            new_idx[r] = m++;
+            acc_x.push_back(0);
+            acc_y.push_back(0);
+            cnt.push_back(0);
+            elem_out.push_back(out_elem[a]);
+        }
+        int ni = new_idx[r];
+        acc_x[ni] += out_pos[2 * a];
+        acc_y[ni] += out_pos[2 * a + 1];
+        cnt[ni] += 1;
+    }
+    std::vector<std::pair<int32_t, int32_t>> bonds;
+    bonds.reserve(n_bonds);
+    for (int e = 0; e < n_bonds; ++e) {
+        int a = new_idx[root_of[out_bonds[2 * e]]];
+        int b = new_idx[root_of[out_bonds[2 * e + 1]]];
+        if (a == b) continue;
+        bonds.emplace_back(std::min(a, b), std::max(a, b));
+    }
+    std::sort(bonds.begin(), bonds.end());
+    bonds.erase(std::unique(bonds.begin(), bonds.end()), bonds.end());
+
+    for (int i = 0; i < m; ++i) {
+        out_pos[2 * i] = acc_x[i] / cnt[i];
+        out_pos[2 * i + 1] = acc_y[i] / cnt[i];
+        out_elem[i] = elem_out[i];
+    }
+    for (size_t e = 0; e < bonds.size(); ++e) {
+        out_bonds[2 * e] = bonds[e].first;
+        out_bonds[2 * e + 1] = bonds[e].second;
+    }
+    out_n[0] = m;
+    out_n[1] = (int32_t)bonds.size();
+    return 0;
 }
 
 }  // extern "C"

@@ -114,6 +114,84 @@ def test_judge_batch_matches_single_calls():
             assert ident is None
 
 
+def _dataset_molecules(dataset, n, seed):
+    import tempfile
+
+    from gaudi_tpu.data.synthetic import generate_dataset
+    from gaudi_tpu.data.dataset import DatasetConfig, create_datasets
+
+    root = tempfile.mkdtemp(prefix=f"gaudi_natgor_{dataset}_")
+    csv = generate_dataset(root, dataset, n_molecules=n, seed=seed)
+    max_nodes = 10 if dataset == "hetro" else 11
+    cfg = DatasetConfig(
+        dataset=dataset, csv_file=csv, xyz_root=f"{root}/{dataset}-xyz",
+        max_nodes=max_nodes, target_features="GAP_eV",
+    )
+    tr, va, te = create_datasets(cfg)
+    mols = []
+    for ds in (tr, va, te):
+        for b in ds.iter_batches(64, shuffle=False):
+            for i in np.nonzero(b["weight"] > 0)[0]:
+                x, h = b["x"][i], b["h"][i]
+                if dataset == "hetro":
+                    alive = np.abs(h[:max_nodes]).sum(-1) > 0
+                    xi = np.concatenate([x[:max_nodes][alive], x[max_nodes:][alive]])
+                    ti = np.concatenate(
+                        [h[:max_nodes][alive].argmax(-1),
+                         h[max_nodes:][alive].argmax(-1)]
+                    )
+                else:
+                    nn = b["n_nodes"][i]
+                    xi, ti = x[:nn], h[:nn].argmax(-1)
+                mols.append((xi, ti))
+    return mols
+
+
+@pytest.mark.parametrize("dataset", ["cata", "hetro"])
+def test_native_gor2goa_matches_python(dataset):
+    """Atom types + bond lists must match the python path exactly;
+    positions up to a rigid transform (distance-matrix equality)."""
+    from gaudi_tpu.eval_chem.gor2goa import gor2goa_py
+
+    mols = _dataset_molecules(dataset, 40, seed=11)
+    assert len(mols) >= 30
+    for x, t in mols:
+        p_pos, p_types, p_bonds = gor2goa_py(x, t, dataset=dataset)
+        n_pos, n_types, n_bonds = native.gor2goa(x, t, dataset=dataset)
+        np.testing.assert_array_equal(p_types, n_types)
+        assert [list(b) for b in p_bonds] == n_bonds
+        dp = np.linalg.norm(p_pos[:, None] - p_pos[None], axis=-1)
+        dn = np.linalg.norm(n_pos[:, None] - n_pos[None], axis=-1)
+        np.testing.assert_allclose(dp, dn, atol=1e-6)
+
+
+def test_native_gor2goa_noisy_geometry_matches_python():
+    from gaudi_tpu.eval_chem.gor2goa import gor2goa_py
+
+    rng = np.random.default_rng(5)
+    mols = _dataset_molecules("cata", 25, seed=13)
+    for x, t in mols:
+        x = x + rng.normal(0, 0.08, x.shape)  # near the stability tolerance
+        p_pos, p_types, p_bonds = gor2goa_py(x, t, dataset="cata")
+        n_pos, n_types, n_bonds = native.gor2goa(x, t, dataset="cata")
+        np.testing.assert_array_equal(p_types, n_types)
+        assert [list(b) for b in p_bonds] == n_bonds
+
+
+def test_native_gor2goa_rejects_pseudo_class():
+    # hetro '.' orientation class has no template: python raises, native too
+    from gaudi_tpu.data.rings import RINGS_LIST
+    from gaudi_tpu.eval_chem.gor2goa import gor2goa_py
+
+    dot = RINGS_LIST["hetro"].index(".")
+    x = np.random.default_rng(0).normal(size=(4, 3))
+    t = np.array([dot, 0, dot, 0])
+    with pytest.raises(Exception):
+        gor2goa_py(x, t, dataset="hetro")
+    with pytest.raises(ValueError):
+        native.gor2goa(x, t, dataset="hetro")
+
+
 def test_metrics_native_vs_python_backend(monkeypatch):
     """End-to-end analyze_chemical_validity: both backends, same metrics."""
     from gaudi_tpu.data.synthetic import generate_dataset
