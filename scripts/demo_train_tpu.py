@@ -34,8 +34,6 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    import numpy as np
-
     from gaudi_tpu.cli.eval_validity import sample_molecules
     from gaudi_tpu.config import EDMConfig, PredictorConfig
     from gaudi_tpu.data.synthetic import generate_dataset

@@ -12,7 +12,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from gaudi_tpu.core import masked as M
 from gaudi_tpu.diffusion.edm import EDM
 from gaudi_tpu.diffusion.schedule import NoiseSchedule
 from gaudi_tpu.models.egnn import EGNNDynamics

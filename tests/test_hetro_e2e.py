@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 
 from gaudi_tpu.config import EDMConfig, PredictorConfig
-from gaudi_tpu.data import create_datasets
 from gaudi_tpu.data.synthetic import generate_dataset
 from gaudi_tpu.eval_chem import analyze_validity_for_molecules
 from gaudi_tpu.sampling import Sampler, to_molecule_list

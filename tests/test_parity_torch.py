@@ -23,7 +23,6 @@ if REFERENCE not in sys.path:
 import jax
 import jax.numpy as jnp
 
-from gaudi_tpu.core import masked as M
 from gaudi_tpu.models.egnn import EGNNDynamics
 from gaudi_tpu.models.predictor import EGNNPredictor
 from gaudi_tpu.utils.torch_compat import (

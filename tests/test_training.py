@@ -9,7 +9,7 @@ import pytest
 
 from gaudi_tpu.config import EDMConfig, PredictorConfig
 from gaudi_tpu.data.synthetic import generate_dataset
-from gaudi_tpu.train.optim import AdaptiveClipState, adaptive_grad_clip, make_optimizer
+from gaudi_tpu.train.optim import adaptive_grad_clip, make_optimizer
 
 
 class TestAdaptiveClip:
