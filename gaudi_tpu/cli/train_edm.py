@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true", help="shard the batch over all devices")
+    p.add_argument("--dtype", default="float32",
+                   help="network compute dtype (bfloat16 for TPU production)")
+    p.add_argument("--ema", type=float, default=0.0,
+                   help="EMA decay for sampling weights (0 = off, reference "
+                        "behavior; 0.999 is the standard diffusion upgrade)")
     return p
 
 
@@ -60,6 +65,8 @@ def main(argv=None):
         diffusion_noise_schedule=args.noise_schedule,
         restore=args.restore,
         seed=args.seed,
+        dtype=args.dtype,
+        ema_decay=args.ema,
     )
 
     mesh = None

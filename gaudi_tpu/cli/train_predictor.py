@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true")
+    p.add_argument("--dtype", default="float32",
+                   help="network compute dtype (bfloat16 for TPU production)")
     return p
 
 
@@ -60,6 +62,7 @@ def main(argv=None):
         nf=args.nf,
         restore=args.restore,
         seed=args.seed,
+        dtype=args.dtype,
     )
     edm_cfg = EDMConfig(diffusion_steps=args.diffusion_steps)
 
