@@ -139,6 +139,26 @@ class TestEDMTrainer:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
+    def test_dp_sharded_sampling_matches_single(self, tiny_exp):
+        """Mesh-sharded sampling must equal single-device sampling exactly:
+        JAX PRNG semantics are sharding-independent, so batch-sharding the
+        reverse scan over 8 virtual devices is bit-transparent."""
+        from gaudi_tpu.parallel.mesh import create_mesh
+        from gaudi_tpu.sampling import Sampler
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        _, cfg = tiny_exp
+        tr = EDMTrainer(cfg)
+        counts = np.full(16, 5, np.int64)
+        key = jax.random.PRNGKey(9)
+        s1 = Sampler(tr.edm, cfg.max_nodes)
+        x1, h1, _, _ = s1.sample(tr.state.params, key, counts, std=0.7)
+        s2 = Sampler(tr.edm, cfg.max_nodes, mesh=create_mesh(8))
+        x2, h2, _, _ = s2.sample(tr.state.params, key, counts, std=0.7)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
 class TestPredictorTrainer:
     def test_loss_decreases_and_sweep(self, tiny_exp):
         from gaudi_tpu.train.trainer_predictor import PredictorTrainer
