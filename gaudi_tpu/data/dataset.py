@@ -100,68 +100,74 @@ def _preprocess_split(
     32 torch DataLoader workers per epoch instead — here preprocessing runs
     exactly once, then epochs are pure array slicing).
     """
+    rows = df.reset_index(drop=True)
+    data = None
     if os.path.exists(cache_path):
         with np.load(cache_path) as z:
-            return {k: z[k] for k in z.files}
+            data = {k: z[k] for k in z.files}
 
-    names = RINGS_LIST[cfg.dataset]
-    k = len(names)
-    n_max = cfg.max_nodes
-    rows = df.reset_index(drop=True)
-    m = len(rows)
+    if data is None:
+        names = RINGS_LIST[cfg.dataset]
+        k = len(names)
+        n_max = cfg.max_nodes
+        m = len(rows)
 
-    x = np.zeros((m, n_max, 3), np.float32)
-    types = np.zeros((m, n_max), np.int32)
-    n_nodes = np.zeros((m,), np.int32)
-    orient = np.zeros((m, n_max, MAX_ORIENT, 3), np.float32)
-    orient_count = np.zeros((m, n_max), np.int32)
-    y = np.zeros((m, max(len(cfg.targets), 1)), np.float32)
-    keep = np.ones((m,), bool)
+        x = np.zeros((m, n_max, 3), np.float32)
+        types = np.zeros((m, n_max), np.int32)
+        n_nodes = np.zeros((m,), np.int32)
+        orient = np.zeros((m, n_max, MAX_ORIENT, 3), np.float32)
+        orient_count = np.zeros((m, n_max), np.int32)
+        keep = np.ones((m,), bool)
 
-    tasks = [
-        (os.path.join(cfg.xyz_root, str(rows.loc[i]["molecule"]) + ".xyz"),
-         cfg.dataset, n_max)
-        for i in range(m)
-    ]
-    n_workers = n_workers or (os.cpu_count() if m > 2000 else 0)
-    if n_workers and n_workers > 1:
-        from concurrent.futures import ProcessPoolExecutor
+        tasks = [
+            (os.path.join(cfg.xyz_root, str(rows.loc[i]["molecule"]) + ".xyz"),
+             cfg.dataset, n_max)
+            for i in range(m)
+        ]
+        n_workers = n_workers or (os.cpu_count() if m > 2000 else 0)
+        if n_workers and n_workers > 1:
+            from concurrent.futures import ProcessPoolExecutor
 
-        with ProcessPoolExecutor(max_workers=n_workers) as pool:
-            results = list(pool.map(_extract_one, tasks, chunksize=256))
-    else:
-        results = [_extract_one(t) for t in tasks]
+            with ProcessPoolExecutor(max_workers=n_workers) as pool:
+                results = list(pool.map(_extract_one, tasks, chunksize=256))
+        else:
+            results = [_extract_one(t) for t in tasks]
 
-    for i, res in enumerate(results):
-        row = rows.loc[i]
-        if res is None:
-            keep[i] = False
-            continue
-        centers, ring_types, orientations = res
-        r = centers.shape[0]
-        x[i, :r] = centers
-        types[i, :r] = ring_types
-        n_nodes[i] = r
-        for j, o in enumerate(orientations):
-            c = min(o.shape[0], MAX_ORIENT)
-            orient[i, j, :c] = o[:c]
-            orient_count[i, j] = c
-        if cfg.targets:
-            y[i] = np.asarray(
-                [row[t] for t in cfg.targets], np.float32
-            )
+        for i, res in enumerate(results):
+            if res is None:
+                keep[i] = False
+                continue
+            centers, ring_types, orientations = res
+            r = centers.shape[0]
+            x[i, :r] = centers
+            types[i, :r] = ring_types
+            n_nodes[i] = r
+            for j, o in enumerate(orientations):
+                c = min(o.shape[0], MAX_ORIENT)
+                orient[i, j, :c] = o[:c]
+                orient_count[i, j] = c
 
-    data = {
-        "x": x[keep],
-        "types": types[keep],
-        "n_nodes": n_nodes[keep],
-        "orient": orient[keep],
-        "orient_count": orient_count[keep],
-        "y": y[keep],
-        "n_classes": np.array(k),
-    }
-    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-    np.savez_compressed(cache_path, **data)
+        data = {
+            "x": x[keep],
+            "types": types[keep],
+            "n_nodes": n_nodes[keep],
+            "orient": orient[keep],
+            "orient_count": orient_count[keep],
+            "keep": keep,
+            "n_classes": np.array(k),
+        }
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.savez_compressed(cache_path, **data)
+
+    # Targets come straight from the CSV dataframe at load time, so the
+    # expensive geometry cache is target-independent: the EDM (e.g. 2
+    # targets) and the predictor (5 targets) share one preprocessing pass.
+    keep = data.pop("keep")
+    kept_rows = rows.loc[np.nonzero(keep)[0]]
+    y = np.zeros((int(keep.sum()), max(len(cfg.targets), 1)), np.float32)
+    if cfg.targets:
+        y[:] = kept_rows[list(cfg.targets)].to_numpy(np.float32)
+    data["y"] = y
     return data
 
 
@@ -191,8 +197,10 @@ class AromaticDataset:
         self.df = df
 
         cache_dir = cfg.cache_dir or (cfg.xyz_root.rstrip("/") + "_tpu_cache")
+        # v2: geometry-only signature — target features are applied at load
+        # time from the CSV, so predictor/EDM target sets share one cache
         sig = hashlib.md5(
-            f"{cfg.csv_file}|{cfg.dataset}|{cfg.max_nodes}|{cfg.target_features}|"
+            f"v2|{cfg.csv_file}|{cfg.dataset}|{cfg.max_nodes}|"
             f"{len(df)}|{task}".encode()
         ).hexdigest()[:12]
         self.data = _preprocess_split(
