@@ -7,16 +7,26 @@ import os
 
 
 def setup_platform(platform: str = ""):
-    """Optionally force the JAX platform (cpu for debugging).
+    """Optionally force the JAX platform (cpu for debugging) and enable the
+    persistent compilation cache.
 
     Note: on machines where a sitecustomize force-registers a TPU backend
     via jax.config, env vars are ignored — jax.config.update is the only
-    reliable override.
+    reliable override. The on-disk compile cache matters on remote-compile
+    TPU setups where a fresh T=1000 reverse-scan graph takes minutes.
     """
     import jax
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("GAUDI_COMPILE_CACHE", "/tmp/gaudi_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     return jax
 
 

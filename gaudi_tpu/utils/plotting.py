@@ -110,8 +110,20 @@ def plot_chain(
         plot_graph_of_rings(x, t, p, dataset=dataset)
         paths.append(p)
     frames = [imageio.imread(p) for p in paths]
+    # bbox_inches="tight" renders per-frame canvases that differ by a few
+    # pixels; pad to a common size or mimsave's np.stack raises
+    h = max(f.shape[0] for f in frames)
+    w = max(f.shape[1] for f in frames)
+    frames = [
+        np.pad(
+            f,
+            ((0, h - f.shape[0]), (0, w - f.shape[1])) + ((0, 0),) * (f.ndim - 2),
+            constant_values=255,
+        )
+        for f in frames
+    ]
     imageio.mimsave(filename if filename.endswith(".gif") else filename + ".gif",
-                    frames, fps=fps)
+                    frames, duration=1000.0 / fps)
     for p in paths:
         os.remove(p)
     os.rmdir(tmpdir)
