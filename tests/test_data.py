@@ -180,6 +180,24 @@ class TestDataset:
         tr2, _, _ = create_datasets(cfg)
         np.testing.assert_array_equal(tr.data["x"], tr2.data["x"])
 
+    def test_cache_shared_across_target_sets(self, cata_data):
+        """The geometry cache is target-independent: a different
+        target_features set must reuse the same npz (targets are sliced
+        from the CSV at load time) and yield identical geometry."""
+        import dataclasses
+        import glob
+        import os
+
+        cfg, (tr, _, _) = cata_data
+        cache_dir = cfg.xyz_root.rstrip("/") + "_tpu_cache"
+        before = set(glob.glob(os.path.join(cache_dir, "*.npz")))
+        cfg2 = dataclasses.replace(cfg, target_features="GAP_eV,HOMO_eV")
+        tr2, _, _ = create_datasets(cfg2)
+        after = set(glob.glob(os.path.join(cache_dir, "*.npz")))
+        assert before == after, "different targets must not re-preprocess"
+        np.testing.assert_array_equal(tr.data["x"], tr2.data["x"])
+        assert tr2.data["y"].shape[1] == 2
+
 
 class TestHetroDataset:
     def test_orientation_batch_layout(self, tmp_path):
