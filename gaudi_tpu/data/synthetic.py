@@ -272,6 +272,29 @@ def _plan_hetero(cells, rng: np.random.Generator, hetero_prob: float):
     return plan
 
 
+def _skeleton_chemically_valid(mol: Molecule, dataset: str) -> bool:
+    """Reject radicaloid skeletons (no Kekulé structure), e.g. phenalenyl.
+
+    Peri-fused patches frequently carry an odd pi-electron count; the real
+    COMPAS/PASs datasets contain closed-shell molecules only, so the
+    generator must filter with the same valence/Kekulé criterion the
+    evaluator uses (gaudi_tpu.eval_chem.valence) or the dataset itself
+    caps achievable validity (measured 42% on unfiltered peri).
+    """
+    from gaudi_tpu.data.rings import ATOMS_LIST
+    from gaudi_tpu.eval_chem.valence import valence_valid
+
+    atoms = ATOMS_LIST[dataset]
+    heavy = [i for i, e in enumerate(mol.elements) if e != "H"]
+    coords = mol.coords[heavy]
+    d = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
+    adj = np.abs(d - BOND_CC) < 0.08
+    iu = np.triu_indices(len(heavy), k=1)
+    pairs = np.stack([iu[0], iu[1]], axis=1)[adj[iu]]
+    types = np.array([atoms.index(mol.elements[i]) for i in heavy], np.int64)
+    return valence_valid(types, pairs, dataset)
+
+
 def generate_dataset(
     root: str,
     dataset: str = "cata",
@@ -328,6 +351,8 @@ def generate_dataset(
         if dataset == "hetro":
             hetero_plan = _plan_hetero(cells, rng, hetero_prob)
         mol = _patch_to_molecule(cells, hetero_plan or None)
+        if not _skeleton_chemically_valid(mol, dataset):
+            continue
         if jitter > 0:
             # mimic xtb-relaxation geometry variation: exact lattice
             # coordinates form a zero-entropy target that a likelihood
