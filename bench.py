@@ -24,6 +24,8 @@ import os
 import sys
 import time
 
+from gaudi_tpu.cli.common import default_compile_cache
+
 
 def main():
     import jax
@@ -34,7 +36,7 @@ def main():
 
     # persistent compile cache: the remote-compile path on this setup takes
     # minutes per new graph; cache hits make re-runs start in seconds
-    cache_dir = os.environ.get("GAUDI_COMPILE_CACHE", "/tmp/gaudi_jax_cache")
+    cache_dir = default_compile_cache()
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

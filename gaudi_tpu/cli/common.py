@@ -20,14 +20,26 @@ def setup_platform(platform: str = ""):
     if platform:
         jax.config.update("jax_platforms", platform)
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("GAUDI_COMPILE_CACHE", "/tmp/gaudi_jax_cache"),
-        )
+        jax.config.update("jax_compilation_cache_dir", default_compile_cache())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
     return jax
+
+
+def default_compile_cache() -> str:
+    """Per-user persistent compile-cache dir (GAUDI_COMPILE_CACHE overrides).
+
+    A world-shared fixed /tmp path would let another user pre-create the
+    directory (cache poisoning / permission failures on a multi-user host).
+    """
+    cache = os.environ.get("GAUDI_COMPILE_CACHE")
+    if cache:
+        return cache
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "gaudi_jax")
 
 
 def resolve_data(args) -> tuple[str, str]:

@@ -53,9 +53,11 @@ def mean_zero_error(x: jax.Array, node_mask: jax.Array, eps: float = 1e-10) -> j
     Functional replacement for the reference's hot-path assert
     (edm/equivariant_diffusion/utils.py:52-59); use in tests / debug mode.
     """
-    del node_mask
-    largest = jnp.abs(x).max()
-    err = jnp.abs(x.sum(axis=1)).max()
+    if node_mask.ndim == 2:
+        node_mask = node_mask[..., None]
+    xm = x * node_mask
+    largest = jnp.abs(xm).max()
+    err = jnp.abs(xm.sum(axis=1)).max()
     return err / (largest + eps)
 
 

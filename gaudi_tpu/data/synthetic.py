@@ -318,7 +318,7 @@ def _deform(pts, rng, bend_scale, twist_scale):
 def _centers_pass(centers, type_idx, dataset, tol=0.075):
     """Oracle filter: deformed ring centers must satisfy the stability
     checker's distance/connectivity/angle windows with an interior margin
-    (tol 0.05 < the eval's 0.1), so ground-truth data sits safely inside
+    (default tol 0.075 < the eval's 0.1), so ground-truth data sits safely inside
     every window and the oracle test reads ~100%."""
     from gaudi_tpu.data.rings import RINGS_LIST
     from gaudi_tpu.eval_chem.stability import check_stability
@@ -343,17 +343,19 @@ def _skeleton_chemically_valid(mol: Molecule, dataset: str) -> bool:
     evaluator uses (gaudi_tpu.eval_chem.valence) or the dataset itself
     caps achievable validity (measured 42% on unfiltered peri).
     """
+    from gaudi_tpu.data.mol import connectivity_matrix
     from gaudi_tpu.data.rings import ATOMS_LIST
     from gaudi_tpu.eval_chem.valence import valence_valid
 
+    # Keep the explicit H atoms: the evaluator (gor2goa h_slots) assigns
+    # rim hydrogens explicitly, and for hetro a degree-2 B with its H has
+    # valence residual 0 while the bare skeleton would demand a Kekulé
+    # partner — dropping H makes the filter diverge from the evaluator.
     atoms = ATOMS_LIST[dataset]
-    heavy = [i for i, e in enumerate(mol.elements) if e != "H"]
-    coords = mol.coords[heavy]
-    d = np.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
-    adj = np.abs(d - BOND_CC) < 0.08
-    iu = np.triu_indices(len(heavy), k=1)
+    adj = connectivity_matrix(mol).astype(bool)
+    iu = np.triu_indices(len(mol.elements), k=1)
     pairs = np.stack([iu[0], iu[1]], axis=1)[adj[iu]]
-    types = np.array([atoms.index(mol.elements[i]) for i in heavy], np.int64)
+    types = np.array([atoms.index(e) for e in mol.elements], np.int64)
     return valence_valid(types, pairs, dataset)
 
 

@@ -152,7 +152,10 @@ def gor2goa_py(
             ai = np.asarray(ring_atom_idx[i])
             aj = np.asarray(ring_atom_idx[j])
             d = np.linalg.norm(atoms[ai][:, None] - atoms[aj][None], axis=-1)
-            flat = np.argsort(d, axis=None)
+            # stable sort: exactly-tied distances (ideal lattice geometry)
+            # must break ties by (pi, pj) like the native C++ sort, or the
+            # two backends can contract different atom pairs
+            flat = np.argsort(d, axis=None, kind="stable")
             picked_i, picked_j = set(), set()
             for f in flat:
                 pi, pj = divmod(int(f), d.shape[1])

@@ -55,6 +55,19 @@ def _judge_py(goa, dataset):
         return False, None
 
 
+def _convert_and_judge(args):
+    """Fused geometry + python/RDKit judge stage, pool-friendly.
+
+    Keeps the per-molecule InChI conversion inside the worker processes —
+    judging serially in the parent reintroduces the serial-conversion
+    bottleneck for 1k+ molecule batches when RDKit is present.
+    """
+    goa = _convert_one(args)
+    if goa is None:
+        return False, None
+    return _judge_py(goa, args[2])
+
+
 def analyze_chemical_validity_for_molecules(
     molecule_list,
     tol: float = 0.1,
@@ -71,12 +84,6 @@ def analyze_chemical_validity_for_molecules(
     jobs = [
         (np.asarray(x), np.asarray(t), dataset, tol) for x, t in molecule_list
     ]
-    if n_workers and len(jobs) > 256:
-        with ProcessPoolExecutor(max_workers=n_workers) as pool:
-            goas = list(pool.map(_convert_one, jobs, chunksize=32))
-    else:
-        goas = [_convert_one(j) for j in jobs]
-
     n = len(molecule_list)
     valid_bool = [False] * n
     identity = [None] * n
@@ -84,15 +91,30 @@ def analyze_chemical_validity_for_molecules(
     from gaudi_tpu import native
 
     use_native = rdkit_chem() is None and native.available()
-    live = [i for i, g in enumerate(goas) if g is not None]
+    use_pool = n_workers and len(jobs) > 256
     if use_native:
+        # geometry over the pool, then one batched native judge call
+        if use_pool:
+            with ProcessPoolExecutor(max_workers=n_workers) as pool:
+                goas = list(pool.map(_convert_one, jobs, chunksize=32))
+        else:
+            goas = [_convert_one(j) for j in jobs]
+        live = [i for i, g in enumerate(goas) if g is not None]
         ok, ids = native.judge_batch([goas[i] for i in live], dataset)
         for j, i in enumerate(live):
             valid_bool[i] = ok[j]
             identity[i] = ids[j]
     else:
-        for i in live:
-            valid_bool[i], identity[i] = _judge_py(goas[i], dataset)
+        # python/RDKit judge is per-molecule: fuse it with the conversion
+        # inside the workers so InChI generation parallelizes too
+        if use_pool:
+            with ProcessPoolExecutor(max_workers=n_workers) as pool:
+                judged = list(pool.map(_convert_and_judge, jobs, chunksize=32))
+        else:
+            judged = [_convert_and_judge(j) for j in jobs]
+        for i, (ok, ident) in enumerate(judged):
+            valid_bool[i] = ok
+            identity[i] = ident
 
     identities = [s for s in identity if s is not None]
     out = {

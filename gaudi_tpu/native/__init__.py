@@ -39,8 +39,17 @@ _tried = False
 
 
 def _compile() -> bool:
+    """Build the shared library atomically.
+
+    Cold-cache first use can race across processes (forked eval-pool
+    workers all find the lib missing and compile concurrently): each
+    compiles to a unique temp file in the same directory and os.rename()s
+    it into place — atomic on one filesystem — so a sibling's dlopen never
+    sees a half-written .so.
+    """
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB_PATH]
+    tmp = os.path.join(_BUILD_DIR, f".libgaudichem.{os.getpid()}.so")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
@@ -49,7 +58,19 @@ def _compile() -> bool:
         import sys
 
         print(f"[gaudi_tpu.native] build failed:\n{res.stderr}", file=sys.stderr)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
+    try:
+        os.rename(tmp, _LIB_PATH)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return os.path.exists(_LIB_PATH)
     return True
 
 

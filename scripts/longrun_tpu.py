@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gaudi_tpu.cli.common import default_compile_cache
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -43,7 +45,7 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    cache_dir = os.environ.get("GAUDI_COMPILE_CACHE", "/tmp/gaudi_jax_cache")
+    cache_dir = default_compile_cache()
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

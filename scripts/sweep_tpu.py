@@ -21,6 +21,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gaudi_tpu.cli.common import default_compile_cache
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -45,7 +47,7 @@ def main():
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.environ.get("GAUDI_COMPILE_CACHE", "/tmp/gaudi_jax_cache"),
+            default_compile_cache(),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
