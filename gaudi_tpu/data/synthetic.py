@@ -315,6 +315,50 @@ def _deform(pts, rng, bend_scale, twist_scale):
     return out + c
 
 
+def _roundtrip_valid(centers, type_idx, hetero_plan, cell_vertices,
+                     coords, dataset):
+    """Evaluator-fidelity filter: reconstruction must round-trip.
+
+    The GOR->GOA evaluator reconstructs atoms from 2-D-projected ring
+    templates; under strong out-of-plane deformation the fusion-bond
+    closest-pair matching can pick a +-1-shifted vertex pair (measured:
+    ~7% of unfiltered deformed hetro molecules reconstruct non-isomorphic
+    and judge invalid; ~1% of cata). Accept only geometries whose
+    reconstruction round-trips to a chemically valid molecule — the same
+    oracle-by-construction contract the stability filter provides.
+    """
+    from gaudi_tpu.data.rings import RINGS_LIST
+    from gaudi_tpu.eval_chem.gor2goa import gor2goa
+    from gaudi_tpu.eval_chem.valence import valence_valid
+
+    n = len(type_idx)
+    if dataset == "hetro":
+        ori = centers.copy()
+        for ci, (elem, slots) in (hetero_plan or {}).items():
+            ori[ci] = coords[cell_vertices[ci][slots[0]]]
+        xi = np.concatenate([centers, ori], axis=0)
+        ti = np.concatenate(
+            [type_idx, np.full(n, len(RINGS_LIST[dataset]) - 1)], axis=0
+        )
+    else:
+        xi = centers
+        ti = type_idx
+    # knife-edge geometries flip the fusion-pair pick under the tiny
+    # perturbations between this filter and the eval path (xyz %.6f
+    # round-trip, float32 cache): demand the round-trip survive small
+    # jitter so only robust geometries ship
+    rng = np.random.default_rng(12345)
+    for trial in range(3):
+        xt = xi if trial == 0 else xi + rng.normal(0.0, 2e-3, xi.shape)
+        try:
+            _, atom_types, bonds = gor2goa(xt, ti, dataset=dataset)
+        except Exception:
+            return False
+        if not valence_valid(atom_types, bonds, dataset):
+            return False
+    return True
+
+
 def _centers_pass(centers, type_idx, dataset, tol=0.075):
     """Oracle filter: deformed ring centers must satisfy the stability
     checker's distance/connectivity/angle windows with an interior margin
@@ -460,6 +504,9 @@ def generate_dataset(
             if (
                 (connectivity_matrix(mol) == adj_planar).all()
                 and _centers_pass(centers, type_idx, dataset)
+                and _roundtrip_valid(
+                    centers, type_idx, hetero_plan, cell_vertices, d, dataset
+                )
             ):
                 accepted = d
             shrink *= 0.6

@@ -115,8 +115,21 @@ def gor2goa_py(
             if len(neigh) == 0:
                 angle = 0.0
             else:
-                j = int(neigh[0])
-                angle = np.arctan2(xy[j, 1] - xy[i, 1], xy[j, 0] - xy[i, 0])
+                # anchor to the symmetry-periodic circular mean over ALL
+                # neighbors: rotating an all-C hexagon (square) template by
+                # 60 (90) degrees maps it onto itself, so only the angle
+                # mod the period matters — averaging over neighbors is
+                # ring-order-invariant (a single-neighbor anchor made the
+                # reconstruction depend on cycle-basis enumeration order)
+                # and tolerant of out-of-plane distortion
+                period = np.pi / 3 if rname == "Bn" else np.pi / 2
+                th = np.arctan2(
+                    xy[neigh, 1] - xy[i, 1], xy[neigh, 0] - xy[i, 0]
+                )
+                m = 2.0 * np.pi / period
+                angle = np.arctan2(
+                    np.sin(m * th).sum(), np.cos(m * th).sum()
+                ) / m
             # offset so an edge midpoint (not a vertex) faces the neighbor
             angle += np.pi / 6 if rname == "Bn" else np.pi / 4
         else:

@@ -48,34 +48,45 @@ def _build_graph(atom_types, bonds, dataset: str) -> nx.Graph:
     return g
 
 
+def _expanded_ac(atom_types, bonds, dataset: str):
+    """(AC matrix, symbols) with explicit H added on degree-2 carbons —
+    exactly the mol the reference feeds AC2mol (build_molecule_aromatic,
+    gor2goa.py:276-296)."""
+    symbols = [ATOMS_LIST[dataset][int(t)] for t in atom_types]
+    n = len(symbols)
+    deg = np.zeros(n, np.int64)
+    for a, b in bonds:
+        deg[int(a)] += 1
+        deg[int(b)] += 1
+    extra = [i for i, s in enumerate(symbols) if s == "C" and deg[i] == 2]
+    m = n + len(extra)
+    ac = np.zeros((m, m), np.int64)
+    for a, b in bonds:
+        ac[int(a), int(b)] = ac[int(b), int(a)] = 1
+    for k, i in enumerate(extra):
+        ac[i, n + k] = ac[n + k, i] = 1
+        symbols.append("H")
+    return ac, symbols
+
+
 def valence_valid(atom_types, bonds, dataset: str = "cata") -> bool:
-    """True iff the atom graph is a chemically valid neutral molecule."""
+    """True iff the atom graph is a chemically valid neutral molecule.
+
+    Full AC2BO criterion (see xyz2mol_bo): a valence assignment whose
+    saturated bond-order matrix passes the sum + charge checks must exist
+    AND assign formal charge 0 to every atom; plus the reference's
+    single-fragment requirement (gor2goa.py:315).
+    """
     if len(atom_types) == 0 or len(bonds) == 0:
         return False
     g = _build_graph(atom_types, bonds, dataset)
     if not nx.is_connected(g):
         return False
+    from gaudi_tpu.eval_chem.xyz2mol_bo import bo_is_neutral_valid
 
-    needs_pi = []
-    for i in g.nodes:
-        s = g.nodes[i]["element"]
-        sigma = g.degree(i) + g.nodes[i]["implicit_h"]
-        allowed = ATOM_VALENCES.get(s)
-        if allowed is None:
-            return False
-        rem = min(allowed) - sigma
-        if rem < 0 or rem > 1:
-            return False
-        if rem == 1:
-            needs_pi.append(i)
-
-    if not needs_pi:
-        return True
-    if len(needs_pi) % 2 == 1:
-        return False
-    sub = g.subgraph(needs_pi)
-    matching = nx.max_weight_matching(sub, maxcardinality=True)
-    return 2 * len(matching) == len(needs_pi)
+    ac, symbols = _expanded_ac(atom_types, bonds, dataset)
+    valid, _ = bo_is_neutral_valid(ac, symbols, 0)
+    return valid
 
 
 def molecule_hash(atom_types, bonds, dataset: str = "cata") -> str:
@@ -105,27 +116,35 @@ def rdkit_chem():
 def try_rdkit_inchi(atom_types, bonds, dataset: str = "cata"):
     """InChI via RDKit when importable; None if RDKit is absent or fails.
 
-    Mirrors reference rdkit_valid (gor2goa.py:298-324): build an RWMol with
-    single bonds + explicit H on degree-2 carbons, infer bond orders, and
-    sanitize; single-fragment requirement included.
+    Mirrors reference rdkit_valid (gor2goa.py:298-324): explicit H on
+    degree-2 carbons, then AC2mol-style bond-order inference (the BO
+    matrix our ac2bo derives is the one the reference's xyz2mol.AC2BO
+    returns) rather than direct aromatic sanitization, then SanitizeMol +
+    single-fragment check.
     """
     Chem = rdkit_chem()
     if Chem is None:
         return None
     try:
-        symbols = [ATOMS_LIST[dataset][int(t)] for t in atom_types]
+        from gaudi_tpu.eval_chem.xyz2mol_bo import bo_is_neutral_valid
+
+        ac, symbols = _expanded_ac(atom_types, bonds, dataset)
+        valid, bo = bo_is_neutral_valid(ac, symbols, 0)
+        if not valid:
+            return None
+        order = {
+            1: Chem.rdchem.BondType.SINGLE,
+            2: Chem.rdchem.BondType.DOUBLE,
+            3: Chem.rdchem.BondType.TRIPLE,
+        }
         mol = Chem.RWMol()
         for s in symbols:
             mol.AddAtom(Chem.Atom(s))
-        deg = np.zeros(len(symbols), np.int64)
-        for a, b in bonds:
-            mol.AddBond(int(a), int(b), Chem.rdchem.BondType.AROMATIC)
-            deg[int(a)] += 1
-            deg[int(b)] += 1
-        for i, s in enumerate(symbols):
-            if s == "C" and deg[i] == 2:
-                h = mol.AddAtom(Chem.Atom("H"))
-                mol.AddBond(i, h, Chem.rdchem.BondType.SINGLE)
+        n = len(symbols)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if bo[i, j]:
+                    mol.AddBond(i, j, order[int(bo[i, j])])
         m = mol.GetMol()
         Chem.SanitizeMol(m)
         if len(Chem.GetMolFrags(m, asMols=True)) != 1:

@@ -96,8 +96,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gaudi_valence_valid.restype = ctypes.c_int
         lib.gaudi_valence_valid.argtypes = [
             ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),   # atomic numbers
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
         ]
@@ -140,8 +139,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),   # atomic numbers
             ctypes.POINTER(ctypes.c_uint64),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
@@ -178,21 +176,24 @@ def _label_u64(symbol: str, implicit_h: int) -> int:
     return v
 
 
+_ATOMIC_NUM = {
+    "H": 1, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9,
+    "Si": 14, "P": 15, "S": 16, "Cl": 17, "Br": 35, "I": 53,
+}
+
+
 def _atom_arrays(atom_types, bonds, dataset: str):
-    """Per-atom min-valence / carbon-flag / WL-init-label arrays.
+    """Per-atom atomic-number / WL-init-label arrays.
 
     Initial WL labels encode element + implicit-H class (degree-2 carbons
     carry one implicit H — reference gor2goa.py:288-293), matching the
-    python backend's node labels.
+    python backend's node labels. Validity itself runs the full AC2BO
+    criterion natively from the atomic numbers.
     """
-    from gaudi_tpu.data.periodic import ATOM_VALENCES
     from gaudi_tpu.data.rings import ATOMS_LIST
 
     symbols = [ATOMS_LIST[dataset][int(t)] for t in atom_types]
-    min_val = np.array(
-        [min(ATOM_VALENCES[s]) for s in symbols], dtype=np.int32
-    )
-    is_c = np.array([s == "C" for s in symbols], dtype=np.uint8)
+    znum = np.array([_ATOMIC_NUM[s] for s in symbols], dtype=np.int32)
     deg = np.zeros(len(symbols), np.int64)
     for a, c in bonds:
         deg[int(a)] += 1
@@ -204,7 +205,7 @@ def _atom_arrays(atom_types, bonds, dataset: str):
         ],
         dtype=np.uint64,
     )
-    return min_val, is_c, labels
+    return znum, labels
 
 
 def _bond_array(bonds) -> np.ndarray:
@@ -220,14 +221,13 @@ def valence_valid(atom_types, bonds, dataset: str = "cata") -> bool:
     if len(atom_types) == 0 or len(bonds) == 0:
         return False
     b = _bond_array(bonds)
-    min_val, is_c, _ = _atom_arrays(atom_types, b, dataset)
-    if (b < 0).any() or (b >= len(min_val)).any():
+    znum, _ = _atom_arrays(atom_types, b, dataset)
+    if (b < 0).any() or (b >= len(znum)).any():
         return False
     return bool(
         lib.gaudi_valence_valid(
-            len(min_val),
-            _ptr(min_val, ctypes.c_int32),
-            _ptr(is_c, ctypes.c_uint8),
+            len(znum),
+            _ptr(znum, ctypes.c_int32),
             b.shape[0],
             _ptr(b, ctypes.c_int32),
         )
@@ -241,7 +241,7 @@ def molecule_identity(
     lib = _load()
     assert lib is not None, "native backend unavailable"
     b = _bond_array(bonds)
-    _, _, labels = _atom_arrays(atom_types, b, dataset)
+    _, labels = _atom_arrays(atom_types, b, dataset)
     out = np.zeros(2, np.uint64)
     lib.gaudi_wl_hash(
         len(labels),
@@ -372,7 +372,7 @@ def judge_batch(mol_list, dataset: str = "cata", iterations: int = 4):
     n = len(mol_list)
     atoms_off = np.zeros(n + 1, np.int64)
     bonds_off = np.zeros(n + 1, np.int64)
-    mins, carbons, labels, bond_rows = [], [], [], []
+    znums, labels, bond_rows = [], [], []
     degenerate = np.zeros(n, bool)
     for i, (atom_types, bonds) in enumerate(mol_list):
         b = _bond_array(bonds)
@@ -383,16 +383,14 @@ def judge_batch(mol_list, dataset: str = "cata", iterations: int = 4):
             atoms_off[i + 1] = atoms_off[i]
             bonds_off[i + 1] = bonds_off[i]
             continue
-        mv, ic, lb = _atom_arrays(atom_types, b, dataset)
-        mins.append(mv)
-        carbons.append(ic)
+        zn, lb = _atom_arrays(atom_types, b, dataset)
+        znums.append(zn)
         labels.append(lb)
         bond_rows.append(b)
-        atoms_off[i + 1] = atoms_off[i] + len(mv)
+        atoms_off[i + 1] = atoms_off[i] + len(zn)
         bonds_off[i + 1] = bonds_off[i] + b.shape[0]
 
-    min_val = np.concatenate(mins) if mins else np.zeros(0, np.int32)
-    is_c = np.concatenate(carbons) if carbons else np.zeros(0, np.uint8)
+    znum = np.concatenate(znums) if znums else np.zeros(0, np.int32)
     lab = np.concatenate(labels) if labels else np.zeros(0, np.uint64)
     bnd = (
         np.concatenate(bond_rows)
@@ -405,8 +403,7 @@ def judge_batch(mol_list, dataset: str = "cata", iterations: int = 4):
         n,
         _ptr(atoms_off, ctypes.c_int64),
         _ptr(bonds_off, ctypes.c_int64),
-        _ptr(min_val, ctypes.c_int32),
-        _ptr(is_c, ctypes.c_uint8),
+        _ptr(znum, ctypes.c_int32),
         _ptr(lab, ctypes.c_uint64),
         _ptr(bnd, ctypes.c_int32),
         iterations,

@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <utility>
 #include <vector>
@@ -145,20 +146,219 @@ inline uint64_t mix2(uint64_t a, uint64_t b) {
     return splitmix64(a ^ (b + 0x9e3779b97f4a7c15ULL + (a << 6) + (a >> 2)));
 }
 
+// ----------------------------------------------------------------------
+// AC2BO: bond-order inference over valence assignments — the native
+// implementation of gaudi_tpu/eval_chem/xyz2mol_bo.py (itself the
+// reference's xyz2mol.AC2BO semantics, data/xyz2mol.py:538-633). Candidate
+// valence lists keep the reference's ORDER (first status-OK combo wins).
+
+static int valence_candidates(int z, int* out /*>=3*/) {
+    switch (z) {
+        case 1: case 9: case 17: case 35: case 53: out[0] = 1; return 1;
+        case 5: out[0] = 3; out[1] = 4; return 2;
+        case 6: case 14: out[0] = 4; return 1;
+        case 7: out[0] = 3; out[1] = 4; return 2;
+        case 8: out[0] = 2; out[1] = 1; out[2] = 3; return 3;
+        case 15: out[0] = 5; out[1] = 3; return 2;
+        case 16: out[0] = 6; out[1] = 3; out[2] = 2; return 3;
+        default: return 0;
+    }
+}
+
+static int valence_electrons_of(int z) {
+    switch (z) {
+        case 1: return 1;  case 5: return 3;  case 6: return 4;
+        case 7: return 5;  case 8: return 6;  case 9: return 7;
+        case 14: return 4; case 15: return 5; case 16: return 6;
+        case 17: return 7; case 35: return 7; case 53: return 7;
+        default: return 0;
+    }
+}
+
+static int atomic_charge_of(int z, int bo_val) {
+    if (z == 1) return 1 - bo_val;
+    if (z == 5) return 3 - bo_val;
+    if (z == 15 && bo_val == 5) return 0;
+    if (z == 16 && bo_val == 6) return 0;
+    return valence_electrons_of(z) - 8 + bo_val;
+}
+
+static const long kMaxCombos = 65536;  // reference product is unbounded
+
+// Maximum matching among unsaturated atoms over AC edges -> (i, j) pairs.
+static void ua_match_pairs(int n, const std::vector<uint8_t>& ac,
+                           const std::vector<int>& ua,
+                           std::vector<std::pair<int, int>>& pairs) {
+    pairs.clear();
+    int np = (int)ua.size();
+    if (np < 2) return;
+    std::vector<int> id(n, -1);
+    for (int k = 0; k < np; ++k) id[ua[k]] = k;
+    std::vector<std::vector<int>> adj(np);
+    bool any = false;
+    for (int k = 0; k < np; ++k)
+        for (int l = k + 1; l < np; ++l)
+            if (ac[ua[k] * n + ua[l]]) {
+                adj[k].push_back(l);
+                adj[l].push_back(k);
+                any = true;
+            }
+    if (!any) return;
+    Blossom bl(adj);
+    bl.max_matching();
+    for (int k = 0; k < np; ++k)
+        if (bl.match[k] > k) pairs.emplace_back(ua[k], ua[bl.match[k]]);
+}
+
+// Total formal charge with the reference's carbene bookkeeping
+// (charge_is_OK, xyz2mol.py:225-250); target charge 0.
+static int total_charge_of(int n, const std::vector<int>& z,
+                           const std::vector<int>& bo,
+                           const std::vector<int>& boval) {
+    int q = 0;
+    for (int i = 0; i < n; ++i) {
+        int c = atomic_charge_of(z[i], boval[i]);
+        q += c;
+        if (z[i] == 6) {
+            int singles = 0;
+            for (int j = 0; j < n; ++j)
+                if (bo[i * n + j] == 1) ++singles;
+            if (singles == 2 && boval[i] == 2) q += 1;
+            if (singles == 3 && q + 1 < 0) q += 2;
+        }
+    }
+    return q;
+}
+
+// Per-atom charges all zero? (set_atomic_charges rules, xyz2mol.py:443-474.)
+static bool charges_all_zero(int n, const std::vector<int>& z,
+                             const std::vector<int>& bo,
+                             const std::vector<int>& boval) {
+    int q = 0;
+    for (int i = 0; i < n; ++i) {
+        int c = atomic_charge_of(z[i], boval[i]);
+        q += c;
+        if (z[i] == 6) {
+            int singles = 0;
+            for (int j = 0; j < n; ++j)
+                if (bo[i * n + j] == 1) ++singles;
+            if (singles == 2 && boval[i] == 2) { q += 1; c = 0; }
+            if (singles == 3 && q + 1 < 0) { q += 2; c = 1; }
+        }
+        if (c != 0) return false;
+    }
+    return true;
+}
+
+// Verdict for one expanded atom graph (explicit H already added):
+// a status-OK bond-order assignment exists AND its formal charges are all
+// zero (the resonance criterion — see xyz2mol_bo.py module docstring).
+static bool ac2bo_neutral_valid(int n, const std::vector<int>& z,
+                                const std::vector<uint8_t>& ac) {
+    std::vector<int> acval(n, 0);
+    long ac_sum = 0;
+    for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j) {
+            acval[i] += ac[i * n + j];
+            ac_sum += ac[i * n + j];
+        }
+
+    int cand[3];
+    std::vector<std::array<int, 3>> cands(n);
+    std::vector<int> ncand(n);
+    for (int i = 0; i < n; ++i) {
+        int k = valence_candidates(z[i], cand);
+        if (k == 0) return false;
+        int kept = 0;
+        for (int c = 0; c < k; ++c)
+            if (cand[c] >= acval[i]) cands[i][kept++] = cand[c];
+        if (kept == 0) return false;  // reference sys.exit()s; judge: invalid
+        ncand[i] = kept;
+    }
+
+    std::vector<int> idx(n, 0), val(n), ua, du, du_save, boval, bo;
+    std::vector<std::pair<int, int>> pairs;
+    long combos = 0;
+    for (;;) {
+        if (combos++ >= kMaxCombos) break;
+        for (int i = 0; i < n; ++i) val[i] = cands[i][idx[i]];
+
+        ua.clear();
+        du.clear();
+        long du_sum = 0;
+        for (int i = 0; i < n; ++i) {
+            int d = val[i] - acval[i];
+            if (d > 0) {
+                ua.push_back(i);
+                du.push_back(d);
+                du_sum += d;
+            }
+        }
+
+        if (ua.empty()) {
+            std::vector<int> ac_int(ac.begin(), ac.end());
+            if (total_charge_of(n, z, ac_int, acval) == 0)
+                return charges_all_zero(n, z, ac_int, acval);
+        } else {
+            ua_match_pairs(n, ac, ua, pairs);
+            bo.assign(ac.begin(), ac.end());
+            boval = acval;
+            du_save.clear();
+            // iterated saturation to a DU fixed point (get_BO)
+            while (du_save != du) {
+                for (auto& pr : pairs) {
+                    ++bo[pr.first * n + pr.second];
+                    ++bo[pr.second * n + pr.first];
+                    ++boval[pr.first];
+                    ++boval[pr.second];
+                }
+                du_save = du;
+                ua.clear();
+                du.clear();
+                for (int i = 0; i < n; ++i) {
+                    int d = val[i] - boval[i];
+                    if (d > 0) {
+                        ua.push_back(i);
+                        du.push_back(d);
+                    }
+                }
+                ua_match_pairs(n, ac, ua, pairs);
+            }
+            bool not_too_large = true;
+            long bo_sum = 0;
+            for (int i = 0; i < n; ++i) {
+                if (boval[i] > val[i]) not_too_large = false;
+                bo_sum += boval[i];
+            }
+            bool sum_ok = (bo_sum - ac_sum) == du_sum;
+            if (not_too_large && sum_ok &&
+                total_charge_of(n, z, bo, boval) == 0)
+                return charges_all_zero(n, z, bo, boval);
+        }
+
+        // odometer advance, rightmost fastest (itertools.product order)
+        int p = n - 1;
+        while (p >= 0 && idx[p] + 1 >= ncand[p]) --p;
+        if (p < 0) break;
+        ++idx[p];
+        for (int r = p + 1; r < n; ++r) idx[r] = 0;
+    }
+    return false;
+}
+
 }  // namespace
 
 extern "C" {
 
-// Chemical validity of a neutral aromatic atom graph.
-//   n            number of heavy atoms
-//   min_valence  per-atom allowed valence (e.g. C=4, N=3, B=3)
-//   is_carbon    per-atom flag: degree-2 carbons get one implicit H
-//                (reference build_molecule_aromatic, gor2goa.py:288-293)
+// Chemical validity of a neutral atom graph (full AC2BO criterion).
+//   n            number of atoms (unexpanded: no implicit H)
+//   atomic_num   per-atom atomic numbers (H=1, B=5, C=6, N=7, O=8, S=16...)
 //   m, bonds     bond list, bonds[2k], bonds[2k+1]
-// Returns 1 if valid: connected, every residual valence in {0,1}, and the
-// residual-1 atoms admit a Kekulé perfect matching within the bond graph.
-int gaudi_valence_valid(int n, const int32_t* min_valence,
-                        const uint8_t* is_carbon, int m,
+// Semantics identical to gaudi_tpu/eval_chem/valence.py::valence_valid:
+// single connected fragment; add one explicit H to every degree-2 carbon
+// (reference build_molecule_aromatic, gor2goa.py:288-293); then a
+// status-OK AC2BO assignment must exist with all formal charges zero.
+int gaudi_valence_valid(int n, const int32_t* atomic_num, int m,
                         const int32_t* bonds) {
     if (n <= 0 || m <= 0) return 0;
     std::vector<int> deg(n, 0);
@@ -174,32 +374,26 @@ int gaudi_valence_valid(int n, const int32_t* min_valence,
     for (int i = 1; i < n; ++i)
         if (dsu.find(i) != root) return 0;
 
-    std::vector<int> rem(n), pi_id(n, -1);
-    std::vector<int> pi_nodes;
-    for (int i = 0; i < n; ++i) {
-        int implicit_h = (is_carbon[i] && deg[i] == 2) ? 1 : 0;
-        int sigma = deg[i] + implicit_h;
-        rem[i] = min_valence[i] - sigma;
-        if (rem[i] < 0 || rem[i] > 1) return 0;
-        if (rem[i] == 1) {
-            pi_id[i] = (int)pi_nodes.size();
-            pi_nodes.push_back(i);
-        }
-    }
-    int np = (int)pi_nodes.size();
-    if (np == 0) return 1;
-    if (np % 2 == 1) return 0;
-
-    std::vector<std::vector<int>> adj(np);
+    // expand: one explicit H on each degree-2 carbon
+    int extra = 0;
+    for (int i = 0; i < n; ++i)
+        if (atomic_num[i] == 6 && deg[i] == 2) ++extra;
+    int ne = n + extra;
+    std::vector<int> z(ne);
+    for (int i = 0; i < n; ++i) z[i] = atomic_num[i];
+    std::vector<uint8_t> ac(ne * ne, 0);
     for (int k = 0; k < m; ++k) {
-        int a = pi_id[bonds[2 * k]], b = pi_id[bonds[2 * k + 1]];
-        if (a != -1 && b != -1) {
-            adj[a].push_back(b);
-            adj[b].push_back(a);
-        }
+        int a = bonds[2 * k], b = bonds[2 * k + 1];
+        ac[a * ne + b] = ac[b * ne + a] = 1;
     }
-    Blossom bl(adj);
-    return 2 * bl.max_matching() == np ? 1 : 0;
+    int h = n;
+    for (int i = 0; i < n; ++i)
+        if (atomic_num[i] == 6 && deg[i] == 2) {
+            z[h] = 1;
+            ac[i * ne + h] = ac[h * ne + i] = 1;
+            ++h;
+        }
+    return ac2bo_neutral_valid(ne, z, ac) ? 1 : 0;
 }
 
 // Weisfeiler-Lehman graph identity hash.
@@ -251,8 +445,8 @@ void gaudi_wl_hash(int n, const uint64_t* labels_in, int m,
 // validity flag and a 128-bit identity per molecule. Bond indices are
 // local to each molecule.
 void gaudi_judge_batch(int n_mols, const int64_t* atoms_off,
-                       const int64_t* bonds_off, const int32_t* min_valence,
-                       const uint8_t* is_carbon, const uint64_t* labels,
+                       const int64_t* bonds_off, const int32_t* atomic_num,
+                       const uint64_t* labels,
                        const int32_t* bonds, int wl_iterations,
                        uint8_t* valid_out, uint64_t* hash_out) {
     for (int i = 0; i < n_mols; ++i) {
@@ -260,7 +454,7 @@ void gaudi_judge_batch(int n_mols, const int64_t* atoms_off,
         int nb = (int)(bonds_off[i + 1] - bonds_off[i]);
         const int32_t* b = bonds + 2 * bonds_off[i];
         valid_out[i] = (uint8_t)gaudi_valence_valid(
-            na, min_valence + atoms_off[i], is_carbon + atoms_off[i], nb, b);
+            na, atomic_num + atoms_off[i], nb, b);
         if (valid_out[i]) {
             gaudi_wl_hash(na, labels + atoms_off[i], nb, b, wl_iterations,
                           hash_out + 2 * i);
@@ -343,13 +537,22 @@ int gaudi_gor2goa(
         double angle;
         double cx = xy[2 * i], cy = xy[2 * i + 1];
         if (no_orient[ti]) {
-            angle = 0.0;
+            // symmetry-periodic circular mean over ALL neighbors (matches
+            // the python path: ring-order-invariant, distortion-tolerant;
+            // an all-C k-gon template is invariant under 2pi/k rotation)
+            double ss = 0.0, cc = 0.0;
+            int nn = 0;
+            double m = (double)k;
             for (int j = 0; j < n; ++j) {
                 if (adj[i * n + j]) {
-                    angle = std::atan2(xy[2 * j + 1] - cy, xy[2 * j] - cx);
-                    break;
+                    double th =
+                        std::atan2(xy[2 * j + 1] - cy, xy[2 * j] - cx);
+                    ss += std::sin(m * th);
+                    cc += std::cos(m * th);
+                    ++nn;
                 }
             }
+            angle = nn ? std::atan2(ss, cc) / m : 0.0;
             angle += orient_offset[ti];
         } else {
             double ox = xy[2 * (n + i)], oy = xy[2 * (n + i) + 1];

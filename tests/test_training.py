@@ -174,9 +174,11 @@ class TestPredictorTrainer:
         rng = np.random.default_rng(0)
         key = jax.random.PRNGKey(0)
         l0 = tr.train_epoch(rng, key)
-        for _ in range(3):
-            l = tr.train_epoch(rng, key)
-        assert l < l0
+        # per-epoch loss is noisy on the tiny fixture (16-mol batches of
+        # nonplanar synthetic data); compare a late-epoch average instead
+        # of a single epoch
+        ls = [tr.train_epoch(rng, key) for _ in range(6)]
+        assert np.mean(ls[-3:]) < l0
         # fixed-t eval runs and is finite at both ends of the noise range
         v0 = tr.eval_epoch(tr.val_ds, key, t_fix=0.0)
         vT = tr.eval_epoch(tr.val_ds, key, t_fix=float(tr.T))
