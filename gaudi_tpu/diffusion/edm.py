@@ -234,11 +234,14 @@ class EDM:
         training: bool = True,
         t_int: Optional[jax.Array] = None,
         eps: Optional[jax.Array] = None,
+        eps0: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, dict]:
         """Per-sample loss. training=True -> simple l2 estimator; False -> NLL.
 
         Mirrors reference forward + compute_loss (en_diffusion.py:644-805).
-        `t_int`/`eps` may be injected for deterministic parity tests.
+        `t_int`/`eps`/`eps0` may be injected for deterministic parity tests
+        (`eps0` is the separate L0-term draw of the t0_always eval
+        estimator, en_diffusion.py:717-739).
         Returns ([B] loss, aux dict).
         """
         simple = training and self.loss_type == "l2"
@@ -294,7 +297,7 @@ class EDM:
             gamma_0 = _inflate(self.schedule.gamma(t_zeros), x.ndim)
             alpha_0 = NoiseSchedule.alpha(gamma_0)
             sigma_0 = NoiseSchedule.sigma(gamma_0)
-            eps_0 = M.sample_combined_noise(
+            eps_0 = eps0 if eps0 is not None else M.sample_combined_noise(
                 k_eps0, b, x.shape[1], self.n_dims, self.in_node_nf, node_mask
             )
             z_0 = alpha_0 * xh + sigma_0 * eps_0

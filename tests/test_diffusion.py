@@ -289,13 +289,11 @@ class TestLossParity:
             training=training,
             t_int=jnp.asarray(t_int_np.astype(np.float32)),
             eps=jnp.asarray(eps1),
+            # the eval estimator's separate L0 draw: the torch mock's
+            # side_effect feeds eps1 (z_t) then eps2 (z_0), so inject the
+            # same second draw here
+            eps0=None if training else jnp.asarray(eps2),
         )
-        if not training:
-            # eval path also draws eps_0 — inject via monkeypatching is not
-            # possible on our side; instead run with eps window. Skip strict
-            # comparison of the stochastic L0 term by reusing eps2 via key —
-            # handled below by comparing with the same eps injected.
-            pass
         return np.asarray(loss), loss_ref
 
     def test_training_loss_parity_t_nonzero(self):
@@ -307,3 +305,11 @@ class TestLossParity:
         t_int = np.array([[0.0], [17.0]])
         ours, ref = self._run_parity(t_int, training=True)
         np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-4)
+
+    def test_eval_nll_parity_t0_always(self):
+        # training=False: the T*loss_t + separate-eps0 L0 estimator
+        # (en_diffusion.py:644-775 with t0_always=True). This quantity
+        # drives best-val checkpoint selection, so parity matters.
+        t_int = np.array([[3.0], [40.0]])
+        ours, ref = self._run_parity(t_int, training=False)
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=1e-3)
