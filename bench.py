@@ -89,16 +89,43 @@ def main():
         )
 
     # compile + warm up
-    x, h = run(params, key)
+    lowered = run.lower(params, key)
+    compiled = lowered.compile()
+    x, h = compiled(params, key)
     jax.block_until_ready(x)
 
     t0 = time.time()
-    x, h = run(params, jax.random.PRNGKey(1))
+    x, h = compiled(params, jax.random.PRNGKey(1))
     jax.block_until_ready(x)
     secs = time.time() - t0
 
     mol_per_s = batch / secs
     north_star = 1000.0 / 60.0
+
+    # roofline: XLA's own FLOP count for the whole T-step guided program
+    # vs the chip's bf16 peak (v5e/lite: 394 TFLOP/s; override with
+    # GAUDI_TPU_PEAK_FLOPS for other parts)
+    mfu_txt = ""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_moved = float(ca.get("bytes accessed", 0.0))
+        if flops > 0:
+            peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 394e12))
+            mfu = flops / secs / peak
+            mfu_txt = (
+                f" flops={flops:.3e} ({flops/secs/1e12:.1f} TFLOP/s, "
+                f"MFU={mfu:.1%} of {peak/1e12:.0f}T peak)"
+            )
+            if bytes_moved > 0:
+                mfu_txt += (
+                    f" bytes={bytes_moved:.3e} "
+                    f"({bytes_moved/secs/1e9:.0f} GB/s HBM)"
+                )
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -113,7 +140,7 @@ def main():
     print(
         f"[bench] batch={batch} T={timesteps} dtype={dtype} fused={fused} "
         f"devices={jax.devices()} "
-        f"wall={secs:.2f}s",
+        f"wall={secs:.2f}s{mfu_txt}",
         file=sys.stderr,
     )
 

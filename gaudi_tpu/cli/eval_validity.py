@@ -26,6 +26,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-steps", type=int, default=0,
                    help="0 = full T reverse steps (reference); K < T uses "
                         "the strided few-step sampler (~T/K speedup)")
+    p.add_argument("--polish", type=int, default=0,
+                   help="SDEdit manifold-projection rounds after sampling "
+                        "(beyond-reference quality knob; ~2%% extra compute "
+                        "per round)")
+    p.add_argument("--polish-t", type=float, default=0.08,
+                   help="re-noise level (fraction of T) for --polish")
     p.add_argument("--tol", type=float, default=0.1)
     p.add_argument("--novelty", action="store_true")
     p.add_argument("--plots", type=int, default=5, help="save N stable/unstable plots")
@@ -39,7 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def sample_molecules(
-    trainer, n_samples, batch_size, std, seed=0, mesh=None, n_steps=None
+    trainer, n_samples, batch_size, std, seed=0, mesh=None, n_steps=None,
+    polish=0, polish_t=0.08,
 ):
     """Returns (molecule list for eval, wall-clock seconds)."""
     import jax
@@ -59,7 +66,8 @@ def sample_molecules(
         counts = trainer.nodes_dist.sample(batch_size, rng)
         key, sub = jax.random.split(key)
         x, h, node_mask, _ = sampler.sample(
-            trainer.sampling_params, sub, counts, std, n_steps=n_steps
+            trainer.sampling_params, sub, counts, std, n_steps=n_steps,
+            polish=polish, polish_t=polish_t,
         )
         jax.block_until_ready(x)
         mols += to_molecule_list(
@@ -96,11 +104,13 @@ def main(argv=None):
             mols, secs = sample_molecules(
                 trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh,
                 n_steps=args.n_steps or None,
+                polish=args.polish, polish_t=args.polish_t,
             )
     else:
         mols, secs = sample_molecules(
             trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh,
             n_steps=args.n_steps or None,
+            polish=args.polish, polish_t=args.polish_t,
         )
     print(f"sampled {len(mols)} molecules in {secs:.2f}s "
           f"({len(mols)/secs:.1f} mol/s)")
@@ -112,14 +122,8 @@ def main(argv=None):
 
     train_ids = None
     if args.novelty:
-        train_mols = []
-        for b in trainer.train_ds.iter_batches(256, shuffle=False):
-            for i in np.nonzero(b["weight"] > 0)[0]:
-                nn = b["n_nodes"][i]
-                train_mols.append((b["x"][i][:nn], b["h"][i][:nn].argmax(-1)))
-        train_ids = analyze_chemical_validity_for_molecules(
-            train_mols, dataset=cfg.dataset, n_workers=args.eval_workers
-        )["valid_identity"]
+        # disk-cached next to the geometry cache: warm calls are instant
+        train_ids = trainer.train_ds.chem_identities(args.eval_workers)
 
     cd = analyze_chemical_validity_for_molecules(
         mols, tol=args.tol, dataset=cfg.dataset,

@@ -191,12 +191,49 @@ def main(argv=None):
     for rank in range(min(args.top_k, int(valid.sum()))):
         i = int(valid_order[rank])
         print(f"top-{rank}: target={values[i]:.4f} pred={pred_un[i]}")
+        title = f"{values[i]:.3f} | " + ", ".join(f"{v:.2f}" for v in pred_un[i])
         plot_graph_of_rings(
             mols[i][0], mols[i][1], f"{run_dir}/{rank}.png",
-            dataset=edm_cfg.dataset,
-            title=f"{values[i]:.3f} | " + ", ".join(f"{v:.2f}" for v in pred_un[i]),
+            dataset=edm_cfg.dataset, title=title,
         )
+        # molecule-level (atom graph) drawing of each top pick — the
+        # reference draws every top-5 molecule as an RDKit structure next
+        # to its ring graph (generation_guidance.py:173-179)
+        try:
+            from gaudi_tpu.eval_chem.gor2goa import gor2goa
+            from gaudi_tpu.utils.plotting import plot_molecule_atoms
+
+            pos2, atom_types, bonds = gor2goa(
+                mols[i][0], mols[i][1], dataset=edm_cfg.dataset
+            )
+            plot_molecule_atoms(
+                pos2, atom_types, bonds, f"{run_dir}/mol_{rank}.png",
+                dataset=edm_cfg.dataset, title=title,
+            )
+        except Exception:
+            pass  # invalid geometry: ring plot above still saved
         results.append({"target": float(values[i]), "pred": pred_un[i].tolist()})
+
+    # target-value histogram over the batch (generation_guidance.py:183-185)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(5, 3.5))
+        plt.hist(values, bins=40, density=True, alpha=0.5, label="all")
+        if valid.any():
+            plt.hist(values[valid], bins=40, density=True, alpha=0.5,
+                     label="valid")
+        plt.xlabel("target value")
+        plt.ylabel("density")
+        plt.legend()
+        plt.tight_layout()
+        plt.savefig(f"{run_dir}/target_hist.png", dpi=120)
+        plt.close()
+    except Exception:
+        pass
 
     return {
         "gen_seconds": gen_secs,

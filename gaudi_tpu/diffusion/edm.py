@@ -412,7 +412,7 @@ class EDM:
         zs = self._project_z(zs, node_mask)
         return jnp.nan_to_num(zs, nan=0.0)
 
-    def _reverse_grid(self, n_steps: Optional[int] = None):
+    def _reverse_grid(self, n_steps: Optional[int] = None, t_hi: Optional[int] = None):
         """(t_indices, s_indices) for the reverse scan, each [K] int32.
 
         n_steps=None (or T) reproduces the reference's full T-step ancestral
@@ -420,12 +420,14 @@ class EDM:
         (t_k = round(linspace(T, 0, K+1))) — the posterior algebra in
         `_posterior_mu_sigma` is exact for any s < t, so this is ancestral
         sampling on a sub-schedule (a DDPM-style few-step sampler), giving
-        ~T/K throughput at a small quality cost.
+        ~T/K throughput at a small quality cost. `t_hi` starts the grid
+        below T (used by `polish`).
         """
-        K = int(n_steps) if n_steps else self.T
-        ts = np.round(np.linspace(self.T, 0, K + 1)).astype(np.int32)
+        top = int(t_hi) if t_hi else self.T
+        K = int(n_steps) if n_steps else top
+        ts = np.round(np.linspace(top, 0, K + 1)).astype(np.int32)
         if len(np.unique(ts)) != K + 1:
-            raise ValueError(f"n_steps={K} too large for T={self.T}")
+            raise ValueError(f"n_steps={K} too large for t_hi={top}")
         return jnp.asarray(ts[:-1]), jnp.asarray(ts[1:])
 
     def _scan_reverse(self, step_fn, key, z0, n_steps: Optional[int] = None):
@@ -539,6 +541,68 @@ class EDM:
         x, h = self.sample_xh_given_z0(params, k_final, z, node_mask, edge_mask)
         x = M.remove_mean_with_mask(x, node_mask)
         return x, h
+
+    def polish(
+        self,
+        params: Params,
+        key: jax.Array,
+        x: jax.Array,
+        h_onehot: jax.Array,
+        node_mask: jax.Array,
+        edge_mask: jax.Array,
+        t_start: float = 0.08,
+        n_steps: int = 12,
+        rounds: int = 2,
+        context: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Manifold-projection polish of finished samples (SDEdit rounds).
+
+        Framework extension beyond the reference sampler: re-noise a
+        finished sample to a small t (alpha_t ~ 1 keeps the global ring
+        arrangement) and run the ancestral reverse scan back to 0, so
+        small-scale geometry — bond-length wobble, out-of-plane dihedral
+        drift — is re-drawn from the model's learned small-sigma
+        conditional, which concentrates inside the empirical stability
+        windows the training data was filtered through. Iterating a few
+        shrinking rounds projects near-miss geometries onto the learned
+        manifold at the cost of rounds*n_steps extra denoiser calls
+        (~2% of a T=1000 generation).
+        """
+        b = x.shape[0]
+        for r in range(rounds):
+            key, k_noise, k_scan, k_final = jax.random.split(key, 4)
+            xs, hs, _ = self.normalize(x, h_onehot, node_mask)
+            z = jnp.concatenate([xs, hs], axis=-1)
+            t_hi = max(int(round(t_start * (0.6**r) * self.T)), n_steps)
+            tt = jnp.full((b, 1), t_hi, jnp.float32) / self.T
+            gamma_t = _inflate(self.schedule.gamma(tt), z.ndim)
+            alpha_t = NoiseSchedule.alpha(gamma_t)
+            sigma_t = NoiseSchedule.sigma(gamma_t)
+            eps = M.sample_combined_noise(
+                k_noise, b, z.shape[1], self.n_dims, self.in_node_nf, node_mask
+            )
+            z = alpha_t * z + sigma_t * eps
+
+            def step(z, s_idx, t_idx, k):
+                s = jnp.full((b, 1), s_idx, jnp.float32) / self.T
+                t = jnp.full((b, 1), t_idx, jnp.float32) / self.T
+                return self.sample_zs_given_zt(
+                    params, k, s, t, z, node_mask, edge_mask, context
+                )
+
+            t_idx, s_idx = self._reverse_grid(n_steps, t_hi=t_hi)
+            keys = jax.random.split(k_scan, t_idx.shape[0])
+
+            def body(zc, inp):
+                s_i, t_i, k = inp
+                return step(zc, s_i, t_i, k), None
+
+            z, _ = jax.lax.scan(body, z, (s_idx, t_idx, keys))
+            x, h_onehot = self.sample_xh_given_z0(
+                params, k_final, z, node_mask, edge_mask, context
+            )
+            x = M.remove_mean_with_mask(x, node_mask)
+        return x, h_onehot
 
     def sample_chain(
         self,

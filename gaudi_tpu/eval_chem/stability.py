@@ -60,6 +60,20 @@ ANGELS3 = {
             "240": (227.120, 255.250),
         }
     },
+    # peri: the reference ships NO angle tables for 'peri' (its angels3_dict
+    # has only cata/hetro keys, utils/helpers.py:52 — reference peri eval
+    # would KeyError). These windows are measured from this framework's own
+    # peri ground truth exactly the way the reference's cata tables were
+    # made: per-cluster 0.1%/99.9% quantiles over ~1,200 molecules
+    # (scripts/measure_peri_windows.py). Peri-condensed systems contain
+    # ~60-degree ring-center angles (triangle fusions) that cata excludes.
+    "peri": {
+        "Bn": {
+            "60": (56.469, 65.185),
+            "120": (112.717, 126.908),
+            "180": (151.060, 179.936),
+        }
+    },
     "hetro": {
         "Bl": {"140": (127.3096694946289, 145.93600463867188)},
         "Bn": {
@@ -82,11 +96,14 @@ ANGELS3 = {
         "Cbd": {"180": (155.19215393066406, 180.0)},
     },
 }
-# NOTE: the reference defines no angle tables for 'peri' (its
-# angels3_dict has only cata/hetro keys, utils/helpers.py:52, so reference
-# peri eval would KeyError). Peri-condensed systems legitimately contain
-# ~60-degree ring-center angles the cata windows exclude; without reference
-# quantiles we restrict peri stability to distance+connectivity checks.
+# Peri dihedrals are deliberately NOT windowed (no ANGELS4['peri']): the
+# measured |dihedral| distribution over peri ground truth is continuous up
+# to 90 degrees (dense patches put quad paths on short lever arms where
+# modest out-of-plane deformation swings the dihedral freely), so a
+# near-0/near-180 window model would misclassify real geometry. This
+# follows the reference's own precedent of skipping the dihedral check for
+# its non-planar-friendly dataset (check_angels4 skips 'hetro',
+# analyze/analyze.py:39-47).
 
 ANGELS4 = {
     "cata": {"0": 43.943, "180": 135.031},

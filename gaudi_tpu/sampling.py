@@ -68,14 +68,23 @@ class Sampler:
         return {"in_shardings": (rep, rep, bs), "out_shardings": (bs, bs, bs, bs)}
 
     @lru_cache(maxsize=8)
-    def _jit_sample(self, std: float, n_steps=None):
+    def _jit_sample(self, std: float, n_steps=None, polish: int = 0,
+                    polish_t: float = 0.08):
         def fn(params, key, n_nodes):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
             )
+            # split only when polishing: the plain path must stay
+            # key-for-key identical to sample_guidance(scale=0)
+            k_s, k_p = (jax.random.split(key) if polish else (key, key))
             x, h = self.edm.sample(
-                params, key, node_mask, edge_mask, std=std, n_steps=n_steps
+                params, k_s, node_mask, edge_mask, std=std, n_steps=n_steps
             )
+            if polish:
+                x, h = self.edm.polish(
+                    params, k_p, x, h, node_mask, edge_mask,
+                    t_start=polish_t, rounds=polish,
+                )
             return x, h, node_mask, edge_mask
 
         return jax.jit(fn, **self._shardings())
@@ -93,15 +102,19 @@ class Sampler:
 
         return jax.jit(fn)
 
-    def sample(self, params, key, nodesxsample, std: float = 0.7, n_steps=None):
+    def sample(self, params, key, nodesxsample, std: float = 0.7, n_steps=None,
+               polish: int = 0, polish_t: float = 0.08):
         """Unconditional molecules (reference sample_pos_edm :128-169).
 
         nodesxsample: [B] ring counts. Returns (x, h_onehot, node_mask,
         edge_mask) with x CoM-free and masked. n_steps < T opts into the
-        strided few-step sampler (beyond-reference throughput knob).
+        strided few-step sampler; polish > 0 appends that many SDEdit
+        manifold-projection rounds (both beyond-reference knobs).
         """
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
-        return self._jit_sample(float(std), n_steps)(params, key, n_nodes)
+        return self._jit_sample(float(std), n_steps, int(polish), float(polish_t))(
+            params, key, n_nodes
+        )
 
     def sample_chain(
         self, params, key, n_nodes: int = 10, keep_frames: int = 100,
