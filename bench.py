@@ -54,15 +54,13 @@ def main():
     batch = int(os.environ.get("GAUDI_BENCH_BATCH", 512))
     timesteps = int(os.environ.get("GAUDI_BENCH_T", 1000))
     dtype = jnp.dtype(os.environ.get("GAUDI_BENCH_DTYPE", "bfloat16"))
-    fused = os.environ.get("GAUDI_BENCH_FUSED", "0") == "1"
     max_nodes, n_nodes, in_nf, n_targets = 11, 10, 1, 2
 
     dynamics = EGNNDynamics(
-        in_node_nf=in_nf, hidden_nf=192, n_layers=9, dtype=dtype, use_fused=fused
+        in_node_nf=in_nf, hidden_nf=192, n_layers=9, dtype=dtype
     )
     predictor = EGNNPredictor(
         in_nf=in_nf, out_nf=n_targets, hidden_nf=196, n_layers=12, dtype=dtype,
-        use_fused=fused,
     )
     edm = EDM(
         apply_fn=dynamics.apply,
@@ -138,7 +136,7 @@ def main():
     )
     # context to stderr so stdout stays one JSON line
     print(
-        f"[bench] batch={batch} T={timesteps} dtype={dtype} fused={fused} "
+        f"[bench] batch={batch} T={timesteps} dtype={dtype} "
         f"devices={jax.devices()} "
         f"wall={secs:.2f}s{mfu_txt}",
         file=sys.stderr,

@@ -61,7 +61,7 @@ class EDMConfig:
     save_dir: str = "summary"
     seed: int = 0
     dtype: str = "float32"  # compute dtype for the network ("bfloat16" opts in)
-    use_fused: bool = False  # Pallas fused edge kernels (TPU serving path)
+    use_fused: bool = False  # deprecated no-op (Pallas path removed; PERF.md post-mortem); kept so old args.json files load
     # EMA of weights for sampling. The reference defines an EMA helper but
     # never enables it (SURVEY §2.6); 0.0 reproduces that. Nonzero (e.g.
     # 0.999) is the standard diffusion-quality upgrade.

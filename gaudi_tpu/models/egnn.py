@@ -120,10 +120,11 @@ class DenseGCL(nn.Module):
     optional sigmoid attention gate -> edge-mask -> sum over senders ->
     residual node MLP -> node-mask.
 
-    use_fused routes the edge pipeline through the Pallas kernel
-    (gaudi_tpu.ops.fused_edge) — no [B,N,N,H] intermediate ever reaches
-    HBM. The fused path declares its weights flat (w_src/w_dst/...);
-    gaudi_tpu.models.fused_convert maps between the two layouts.
+    The dense [B,N,N,H] formulation is deliberate: XLA fuses the
+    elementwise chain into the two H x H matmuls and keeps the MXU fed.
+    (A hand-written Pallas fusion of this block was built, measured 6.7x
+    slower than XLA's schedule, and removed — see PERF.md "Pallas
+    post-mortem".)
     """
 
     hidden_nf: int
@@ -131,7 +132,6 @@ class DenseGCL(nn.Module):
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
-    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -141,53 +141,22 @@ class DenseGCL(nn.Module):
         node_mask: jax.Array,
         edge_mask: jax.Array,
     ) -> jax.Array:
-        if self.use_fused:
-            if not self.attention:
-                raise NotImplementedError("fused path requires attention=True")
-            from gaudi_tpu.ops.fused_edge import edge_block_attn_sum
-
-            hh, e = self.hidden_nf, edge_attr.shape[-1]
-            h_in = h.shape[-1]
-            init = TORCH_LINEAR_INIT
-            w_src = self.param("w_src", init, (h_in, hh))
-            w_dst = self.param("w_dst", init, (h_in, hh))
-            b_dst = self.param("b_dst", nn.initializers.zeros, (hh,))
-            w_e = self.param("w_e", init, (e, hh))
-            w2 = self.param("w2", init, (hh, hh))
-            b2 = self.param("b2", nn.initializers.zeros, (hh,))
-            w_a = self.param("w_a", init, (hh, 1))
-            b_a = self.param("b_a", nn.initializers.zeros, ())
-
-            dt = self.dtype
-            hd = h.astype(dt)
-            agg = edge_block_attn_sum(
-                hd @ w_src.astype(dt),
-                hd @ w_dst.astype(dt) + b_dst.astype(dt),
-                edge_attr.astype(dt),
-                edge_mask.astype(dt),
-                w_e.astype(dt),
-                w2.astype(dt),
-                b2.astype(dt),
-                w_a[:, 0].astype(dt),
-                b_a.astype(dt),
-            )
+        # Edge model (reference egnn_new.py:42-57).
+        mij = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_attr)
+        mij = nn.silu(mij)
+        mij = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge_out")(mij)
+        mij = nn.silu(mij)
+        if self.attention:
+            att = nn.sigmoid(nn.Dense(1, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="att")(mij))
+            out = mij * att
         else:
-            # Edge model (reference egnn_new.py:42-57).
-            mij = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_attr)
-            mij = nn.silu(mij)
-            mij = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge_out")(mij)
-            mij = nn.silu(mij)
-            if self.attention:
-                att = nn.sigmoid(nn.Dense(1, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="att")(mij))
-                out = mij * att
-            else:
-                out = mij
-            out = out * edge_mask[..., None]
+            out = mij
+        out = out * edge_mask[..., None]
 
-            # Aggregate over senders j (reference unsorted_segment_sum,
-            # egnn_new.py:403-421). 'mean' divides by the static N like the
-            # reference's unmasked ones-scatter does for full connectivity.
-            agg = out.sum(axis=2)
+        # Aggregate over senders j (reference unsorted_segment_sum,
+        # egnn_new.py:403-421). 'mean' divides by the static N like the
+        # reference's unmasked ones-scatter does for full connectivity.
+        agg = out.sum(axis=2)
         if self.aggregation_method == "sum":
             agg = agg / self.normalization_factor
         elif self.aggregation_method == "mean":
@@ -243,7 +212,6 @@ class DenseEquivariantUpdate(nn.Module):
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
-    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -255,53 +223,23 @@ class DenseEquivariantUpdate(nn.Module):
         node_mask: jax.Array,
         edge_mask: jax.Array,
     ) -> jax.Array:
-        if self.use_fused:
-            from gaudi_tpu.ops.fused_edge import edge_block_coord
-
-            hh, e = self.hidden_nf, edge_attr.shape[-1]
-            h_in = h.shape[-1]
-            init = TORCH_LINEAR_INIT
-            w_src = self.param("w_src", init, (h_in, hh))
-            w_dst = self.param("w_dst", init, (h_in, hh))
-            b_dst = self.param("b_dst", nn.initializers.zeros, (hh,))
-            w_e = self.param("w_e", init, (e, hh))
-            w2 = self.param("w2", init, (hh, hh))
-            b2 = self.param("b2", nn.initializers.zeros, (hh,))
-            w_g = self.param("w_g", _small_init(0.001), (hh, 1))
-
-            dt = self.dtype
-            hd = h.astype(dt)
-            agg = edge_block_coord(
-                hd @ w_src.astype(dt),
-                hd @ w_dst.astype(dt) + b_dst.astype(dt),
-                edge_attr.astype(dt),
-                edge_mask.astype(dt),
-                coord_diff.astype(jnp.float32),
-                w_e.astype(dt),
-                w2.astype(dt),
-                b2.astype(dt),
-                w_g[:, 0].astype(dt),
-                self.tanh,
-                self.coords_range,
-            )
+        m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="coord_in")(h, edge_attr)
+        m = nn.silu(m)
+        m = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="coord_mid")(m)
+        m = nn.silu(m)
+        gate = nn.Dense(
+            1, use_bias=False, kernel_init=_small_init(0.001), dtype=self.dtype,
+            name="coord_gate"
+        )(m)
+        # coordinate arithmetic stays f32: the tanh gate output is tiny
+        # (init gain 1e-3) and position updates accumulate over layers
+        gate = gate.astype(jnp.float32)
+        if self.tanh:
+            trans = coord_diff * jnp.tanh(gate) * self.coords_range
         else:
-            m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="coord_in")(h, edge_attr)
-            m = nn.silu(m)
-            m = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="coord_mid")(m)
-            m = nn.silu(m)
-            gate = nn.Dense(
-                1, use_bias=False, kernel_init=_small_init(0.001), dtype=self.dtype,
-                name="coord_gate"
-            )(m)
-            # coordinate arithmetic stays f32: the tanh gate output is tiny
-            # (init gain 1e-3) and position updates accumulate over layers
-            gate = gate.astype(jnp.float32)
-            if self.tanh:
-                trans = coord_diff * jnp.tanh(gate) * self.coords_range
-            else:
-                trans = coord_diff * gate
-            trans = trans * edge_mask[..., None]
-            agg = trans.sum(axis=2)
+            trans = coord_diff * gate
+        trans = trans * edge_mask[..., None]
+        agg = trans.sum(axis=2)
         if self.aggregation_method == "sum":
             agg = agg / self.normalization_factor
         elif self.aggregation_method == "mean":
@@ -330,7 +268,6 @@ class EquivariantBlock(nn.Module):
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
-    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -352,7 +289,6 @@ class EquivariantBlock(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 dtype=self.dtype,
-                use_fused=self.use_fused,
                 name=f"gcl_{i}",
             )(h, edge_attr, node_mask, edge_mask)
         x = DenseEquivariantUpdate(
@@ -362,7 +298,6 @@ class EquivariantBlock(nn.Module):
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method,
             dtype=self.dtype,
-            use_fused=self.use_fused,
             name="equiv",
         )(h, x, coord_diff, edge_attr, node_mask, edge_mask)
         h = h * node_mask
@@ -387,7 +322,6 @@ class DynamicsEGNN(nn.Module):
     normalization_factor: float = 1.0
     aggregation_method: str = "sum"
     dtype: jnp.dtype = jnp.float32
-    use_fused: bool = False
     remat: bool = False  # jax.checkpoint each block (memory <-> recompute)
 
     @nn.compact
@@ -421,7 +355,6 @@ class DynamicsEGNN(nn.Module):
                 normalization_factor=self.normalization_factor,
                 aggregation_method=self.aggregation_method,
                 dtype=self.dtype,
-                use_fused=self.use_fused,
                 name=f"block_{i}",
             )(h, x, edge_attr0, node_mask, edge_mask)
         h = nn.Dense(self.out_node_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="embedding_out")(h)
@@ -455,7 +388,6 @@ class EGNNDynamics(nn.Module):
     condition_time: bool = True
     context_node_nf: int = 0
     dtype: jnp.dtype = jnp.float32
-    use_fused: bool = False
     remat: bool = False
 
     @nn.compact
@@ -500,7 +432,6 @@ class EGNNDynamics(nn.Module):
             normalization_factor=self.normalization_factor,
             aggregation_method=self.aggregation_method,
             dtype=self.dtype,
-            use_fused=self.use_fused,
             remat=self.remat,
             name="egnn",
         )(h.astype(self.dtype), x, node_mask, edge_mask)

@@ -39,7 +39,6 @@ class PredictorEGCL(nn.Module):
     coords_range: float = 1.0
     recurrent: bool = True
     dtype: jnp.dtype = jnp.float32
-    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -52,54 +51,6 @@ class PredictorEGCL(nn.Module):
     ) -> tuple[jax.Array, jax.Array]:
         radial, coord_diff = coord2diff(x, norm_constant=1.0)  # gcl.py:308-316
         edge_in = jnp.concatenate([radial, edge_attr0], axis=-1)
-
-        if self.use_fused:
-            if not self.attention:
-                raise NotImplementedError("fused path requires attention=True")
-            from gaudi_tpu.ops.fused_edge import edge_block_predictor
-
-            hh, e = self.hidden_nf, edge_in.shape[-1]
-            h_in = h.shape[-1]
-            init = TORCH_LINEAR_INIT
-            w_src = self.param("w_src", init, (h_in, hh))
-            w_dst = self.param("w_dst", init, (h_in, hh))
-            b_dst = self.param("b_dst", nn.initializers.zeros, (hh,))
-            w_e = self.param("w_e", init, (e, hh))
-            w2 = self.param("w2", init, (hh, hh))
-            b2 = self.param("b2", nn.initializers.zeros, (hh,))
-            w_a = self.param("w_a", init, (hh, 1))
-            b_a = self.param("b_a", nn.initializers.zeros, ())
-            w_mid = self.param("w_mid", init, (hh, hh))
-            b_mid = self.param("b_mid", nn.initializers.zeros, (hh,))
-            w_g = self.param("w_g", _small_init(0.001), (hh, 1))
-
-            dt = self.dtype
-            hd = h.astype(dt)
-            agg, trans_sum = edge_block_predictor(
-                hd @ w_src.astype(dt),
-                hd @ w_dst.astype(dt) + b_dst.astype(dt),
-                edge_in.astype(dt),
-                edge_mask.astype(dt),
-                coord_diff.astype(jnp.float32),
-                w_e.astype(dt),
-                w2.astype(dt),
-                b2.astype(dt),
-                w_a[:, 0].astype(dt),
-                b_a.astype(dt),
-                w_mid.astype(dt),
-                b_mid.astype(dt),
-                w_g[:, 0].astype(dt),
-                self.tanh,
-                self.coords_range,
-            )
-            x = x + trans_sum
-            upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_in")(
-                jnp.concatenate([hd, agg], axis=-1)
-            )
-            upd = nn.silu(upd)
-            upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_out")(upd)
-            h = h + upd if self.recurrent else upd
-            return h * node_mask.astype(h.dtype), x * node_mask.astype(x.dtype)
 
         # Edge model (gcl.py:225-238).
         m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_in)
@@ -157,7 +108,6 @@ class EGNNPredictor(nn.Module):
     recurrent: bool = True
     mean_over_real_nodes: bool = False
     dtype: jnp.dtype = jnp.float32
-    use_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -192,7 +142,6 @@ class EGNNPredictor(nn.Module):
                 coords_range=coords_range_layer,
                 recurrent=self.recurrent,
                 dtype=self.dtype,
-                use_fused=self.use_fused,
                 name=f"gcl_{i}",
             )(h, x, edge_attr0, node_mask.astype(self.dtype), edge_mask.astype(self.dtype))
         h = nn.Dense(self.out_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="embedding_out")(h)

@@ -39,7 +39,6 @@ def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
     model = EGNNDynamics(
         in_node_nf=in_node_nf,
         dtype=jnp.dtype(cfg.dtype),
-        use_fused=cfg.use_fused,
         hidden_nf=cfg.nf,
         n_layers=cfg.n_layers,
         inv_sublayers=cfg.inv_sublayers,

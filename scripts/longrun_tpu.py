@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--ema", type=float, default=0.999)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nf", type=int, default=192)
     ap.add_argument("--n-layers", type=int, default=9)
@@ -86,6 +87,7 @@ def main():
         name="longrun-edm",
         save_dir=os.path.join(args.root, "summary"),
         batch_size=args.batch_size,
+        lr=args.lr,
         nf=args.nf,
         n_layers=args.n_layers,
         diffusion_steps=args.diffusion_steps,
