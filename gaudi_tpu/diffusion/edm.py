@@ -553,6 +553,7 @@ class EDM:
         t_start: float = 0.08,
         n_steps: int = 12,
         rounds: int = 2,
+        noise_scale: float = 1.0,
         context: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Manifold-projection polish of finished samples (SDEdit rounds).
@@ -566,7 +567,9 @@ class EDM:
         windows the training data was filtered through. Iterating a few
         shrinking rounds projects near-miss geometries onto the learned
         manifold at the cost of rounds*n_steps extra denoiser calls
-        (~2% of a T=1000 generation).
+        (~2% of a T=1000 generation). noise_scale < 1 damps the per-step
+        posterior noise inside the polish scan (DDIM-ward interpolation:
+        stronger contraction onto the conditional modes).
         """
         b = x.shape[0]
         for r in range(rounds):
@@ -586,8 +589,14 @@ class EDM:
             def step(z, s_idx, t_idx, k):
                 s = jnp.full((b, 1), s_idx, jnp.float32) / self.T
                 t = jnp.full((b, 1), t_idx, jnp.float32) / self.T
-                return self.sample_zs_given_zt(
-                    params, k, s, t, z, node_mask, edge_mask, context
+                mu, sigma = self._posterior_mu_sigma(
+                    params, z, s, t, node_mask, edge_mask, context
+                )
+                eps_n = M.sample_combined_noise(
+                    k, b, z.shape[1], self.n_dims, self.in_node_nf, node_mask
+                )
+                return self._project_z(
+                    mu + noise_scale * sigma * eps_n, node_mask
                 )
 
             t_idx, s_idx = self._reverse_grid(n_steps, t_hi=t_hi)

@@ -69,7 +69,7 @@ class Sampler:
 
     @lru_cache(maxsize=8)
     def _jit_sample(self, std: float, n_steps=None, polish: int = 0,
-                    polish_t: float = 0.08):
+                    polish_t: float = 0.08, polish_noise: float = 1.0):
         def fn(params, key, n_nodes):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
@@ -83,7 +83,7 @@ class Sampler:
             if polish:
                 x, h = self.edm.polish(
                     params, k_p, x, h, node_mask, edge_mask,
-                    t_start=polish_t, rounds=polish,
+                    t_start=polish_t, rounds=polish, noise_scale=polish_noise,
                 )
             return x, h, node_mask, edge_mask
 
@@ -103,7 +103,7 @@ class Sampler:
         return jax.jit(fn)
 
     def sample(self, params, key, nodesxsample, std: float = 0.7, n_steps=None,
-               polish: int = 0, polish_t: float = 0.08):
+               polish: int = 0, polish_t: float = 0.08, polish_noise: float = 1.0):
         """Unconditional molecules (reference sample_pos_edm :128-169).
 
         nodesxsample: [B] ring counts. Returns (x, h_onehot, node_mask,
@@ -112,9 +112,9 @@ class Sampler:
         manifold-projection rounds (both beyond-reference knobs).
         """
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
-        return self._jit_sample(float(std), n_steps, int(polish), float(polish_t))(
-            params, key, n_nodes
-        )
+        return self._jit_sample(
+            float(std), n_steps, int(polish), float(polish_t), float(polish_noise)
+        )(params, key, n_nodes)
 
     def sample_chain(
         self, params, key, n_nodes: int = 10, keep_frames: int = 100,

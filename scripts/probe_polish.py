@@ -15,6 +15,7 @@ def main():
     ap.add_argument("--std", type=float, default=0.7)
     ap.add_argument("--polish-t", type=float, nargs="+", default=[0.08])
     ap.add_argument("--rounds", type=int, nargs="+", default=[2])
+    ap.add_argument("--noise", type=float, nargs="+", default=[1.0])
     args = ap.parse_args()
 
     from gaudi_tpu.cli.common import load_edm_from_dir, setup_platform
@@ -30,11 +31,11 @@ def main():
     rng = np.random.default_rng(3)
     counts = trainer.nodes_dist.sample(args.n, rng)
 
-    def run(polish, pt):
+    def run(polish, pt, pn=1.0):
         t0 = time.time()
         x, h, nm, _ = sampler.sample(
             trainer.sampling_params, jax.random.PRNGKey(5), counts, args.std,
-            polish=polish, polish_t=pt,
+            polish=polish, polish_t=pt, polish_noise=pn,
         )
         jax.block_until_ready(x)
         secs = time.time() - t0
@@ -43,7 +44,7 @@ def main():
         vd, _ = analyze_validity_for_molecules(mols, dataset=cfg.dataset)
         cd = analyze_chemical_validity_for_molecules(mols, dataset=cfg.dataset)
         return {
-            "polish": polish, "t": pt, "secs": round(secs, 1),
+            "polish": polish, "t": pt, "noise": pn, "secs": round(secs, 1),
             "mol_stable": round(vd["mol_stable"], 4),
             "angels3": round(vd["angels3"], 4),
             "angels4": round(vd["angels4"], 4),
@@ -55,7 +56,8 @@ def main():
     print(run(0, 0.08))
     for pt in args.polish_t:
         for r in args.rounds:
-            print(run(r, pt))
+            for pn in args.noise:
+                print(run(r, pt, pn))
 
 
 if __name__ == "__main__":
