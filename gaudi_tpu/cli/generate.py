@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 = full T reverse steps (reference); K < T uses "
                         "the strided few-step sampler (~T/K speedup)")
     p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--polish", type=int, default=0,
+                   help="SDEdit manifold-projection rounds after guidance "
+                        "(t small enough that predicted properties are "
+                        "preserved; beyond-reference quality knob)")
+    p.add_argument("--polish-t", type=float, default=0.05)
+    p.add_argument("--polish-noise", type=float, default=0.5)
     p.add_argument("--out-dir", default="best")
     p.add_argument("--platform", default="")
     p.add_argument("--seed", type=int, default=0)
@@ -141,6 +147,18 @@ def main(argv=None):
         x, h, node_mask, edge_mask = sampler.sample_guidance(
             edm_trainer.sampling_params, key, target_fn, counts,
             scale=args.scale, std=args.std, n_steps=args.n_steps or None,
+        )
+    if args.polish:
+        @jax.jit
+        def _polish(params, key, x, h):
+            return edm_trainer.edm.polish(
+                params, key, x, h, node_mask, edge_mask,
+                t_start=args.polish_t, rounds=args.polish,
+                noise_scale=args.polish_noise,
+            )
+
+        x, h = _polish(
+            edm_trainer.sampling_params, jax.random.PRNGKey(args.seed + 7), x, h
         )
     jax.block_until_ready(x)
     gen_secs = time.time() - t0

@@ -127,3 +127,43 @@ class TestHelpers:
         xi, ti = mols[0]
         assert xi.shape == (4, 3)  # 2 rings + 2 orientation nodes
         assert list(ti) == [0, 0, 2, 2]
+
+
+class TestPolish:
+    def test_polish_preserves_contract(self, tiny_setup=None):
+        """Polished samples keep the sampler contract: masked, CoM-free,
+        one-hot types, finite."""
+        import jax
+        import jax.numpy as jnp
+
+        from gaudi_tpu.core import masked as M
+        from gaudi_tpu.diffusion.edm import EDM
+        from gaudi_tpu.diffusion.schedule import NoiseSchedule
+        from gaudi_tpu.models.egnn import EGNNDynamics
+        from gaudi_tpu.sampling import Sampler
+
+        dyn = EGNNDynamics(in_node_nf=1, hidden_nf=16, n_layers=1)
+        edm = EDM(apply_fn=dyn.apply,
+                  schedule=NoiseSchedule.create("polynomial_2", 40),
+                  in_node_nf=1)
+        key = jax.random.PRNGKey(0)
+        nm, em = M.build_masks(jnp.array([4, 6], jnp.int32), 8)
+        z = M.sample_combined_noise(key, 2, 8, 3, 1, nm)
+        params = dyn.init(key, jnp.zeros((2, 1)), z, nm, em)
+
+        s = Sampler(edm, 8)
+        x, h, nm2, _ = s.sample(params, key, np.array([4, 6]), std=0.7,
+                                polish=2, polish_t=0.1, polish_noise=0.5)
+        x, h = np.asarray(x), np.asarray(h)
+        nmb = np.asarray(nm2)[..., 0] > 0
+        assert np.isfinite(x).all() and np.isfinite(h).all()
+        # padded slots zero
+        assert np.abs(x[~nmb]).max() == 0
+        assert np.abs(h[~nmb]).max() == 0
+        # CoM-free per molecule over live nodes
+        for i in range(2):
+            com = x[i][nmb[i]].mean(0)
+            assert np.abs(com).max() < 1e-4
+        # one-hot types on live nodes
+        live_h = h[nmb]
+        assert np.allclose(live_h.sum(-1), 1.0)
