@@ -7,8 +7,13 @@ shapes). Mirrors reference edm/equivariant_diffusion/en_diffusion.py:32-81
 (polynomial/cosine schedules) and :186-230 (PredefinedNoiseSchedule).
 
 The reference's learned `GammaNetwork` (en_diffusion.py:233-272) is never
-selected by any live config (defaults use polynomial_2 + l2); we deliberately
-do not rebuild it (see SURVEY.md §2.6 dead code).
+selected by any live config (defaults use polynomial_2 + l2). It is rebuilt
+here for inventory completeness as `GammaNetwork` (same VDM monotone
+construction, parity-tested against the torch original) together with
+`NoiseSchedule.from_gamma_network`, which tabulates a trained gamma net
+onto the T+1 lookup grid so every existing sampler/loss path can serve it
+unchanged. End-to-end VLB training of gamma is out of scope exactly as it
+is in the reference's live configs.
 """
 
 from __future__ import annotations
@@ -139,3 +144,84 @@ class NoiseSchedule:
         alpha_t_given_s = jnp.exp(0.5 * (log_alpha2_t - log_alpha2_s))
         sigma_t_given_s = jnp.sqrt(sigma2_t_given_s)
         return sigma2_t_given_s, sigma_t_given_s, alpha_t_given_s
+
+
+class GammaNetwork:
+    """Learned monotone gamma(t) (VDM construction; reference
+    en_diffusion.py:132-166 PositiveLinear + :233-272 GammaNetwork).
+
+    gamma_tilde(t) = l1(t) + l3(sigmoid(l2(l1(t)))) with softplus-positive
+    weights (monotone by construction), normalized to [0, 1] over t in
+    [0, 1] and affinely rescaled to the learnable [gamma_0, gamma_1].
+    Implemented as explicit pytree params + pure functions (no flax
+    dependency needed for 3 tiny layers).
+    """
+
+    HIDDEN = 1024
+
+    @staticmethod
+    def init(key) -> dict:
+        import jax.random as jr
+
+        k1, k2, k3, k4, k5, k6 = jr.split(key, 6)
+
+        def kaiming_u(k, shape):
+            # torch kaiming_uniform_(a=sqrt(5)) == U(-1/sqrt(fan_in), +)
+            fan_in = shape[1]
+            bound = 1.0 / np.sqrt(fan_in)
+            return jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+
+        # weight_init_offset=-2 per the reference's PositiveLinear
+        return {
+            "l1_w": kaiming_u(k1, (1, 1)) - 2.0,
+            "l1_b": jax.random.uniform(k2, (1,), jnp.float32, -1.0, 1.0),
+            "l2_w": kaiming_u(k3, (GammaNetwork.HIDDEN, 1)) - 2.0,
+            "l2_b": jax.random.uniform(
+                k4, (GammaNetwork.HIDDEN,), jnp.float32, -1.0, 1.0
+            ),
+            "l3_w": kaiming_u(k5, (1, GammaNetwork.HIDDEN)) - 2.0,
+            "l3_b": jax.random.uniform(
+                k6, (1,), jnp.float32,
+                -1.0 / np.sqrt(GammaNetwork.HIDDEN),
+                1.0 / np.sqrt(GammaNetwork.HIDDEN),
+            ),
+            "gamma_0": jnp.array([-5.0]),
+            "gamma_1": jnp.array([10.0]),
+        }
+
+    @staticmethod
+    def _plin(t, w, b):
+        return t @ jax.nn.softplus(w).T + b
+
+    @staticmethod
+    def gamma_tilde(params: dict, t: jax.Array) -> jax.Array:
+        l1 = GammaNetwork._plin(t, params["l1_w"], params["l1_b"])
+        return l1 + GammaNetwork._plin(
+            jax.nn.sigmoid(GammaNetwork._plin(l1, params["l2_w"], params["l2_b"])),
+            params["l3_w"], params["l3_b"],
+        )
+
+    @staticmethod
+    def apply(params: dict, t: jax.Array) -> jax.Array:
+        """t [B, 1] -> gamma [B, 1], monotone increasing in t."""
+        g0 = GammaNetwork.gamma_tilde(params, jnp.zeros_like(t))
+        g1 = GammaNetwork.gamma_tilde(params, jnp.ones_like(t))
+        gt = GammaNetwork.gamma_tilde(params, t)
+        normalized = (gt - g0) / (g1 - g0)
+        return params["gamma_0"] + (
+            params["gamma_1"] - params["gamma_0"]
+        ) * normalized
+
+
+def from_gamma_network(params: dict, timesteps: int) -> "NoiseSchedule":
+    """Tabulate a (trained) GammaNetwork onto the T+1 lookup grid.
+
+    The whole sampler/loss stack consumes gamma through the lookup table,
+    so a learned schedule slots in without touching any other code.
+    """
+    t = jnp.linspace(0.0, 1.0, timesteps + 1)[:, None]
+    table = GammaNetwork.apply(params, t)[:, 0]
+    return NoiseSchedule(gamma_table=table, timesteps=timesteps)
+
+
+NoiseSchedule.from_gamma_network = staticmethod(from_gamma_network)
