@@ -16,6 +16,7 @@ def main():
     ap.add_argument("--polish-t", type=float, nargs="+", default=[0.08])
     ap.add_argument("--rounds", type=int, nargs="+", default=[2])
     ap.add_argument("--noise", type=float, nargs="+", default=[1.0])
+    ap.add_argument("--steps", type=int, default=12)
     args = ap.parse_args()
 
     from gaudi_tpu.cli.common import load_edm_from_dir, setup_platform
@@ -35,7 +36,7 @@ def main():
         t0 = time.time()
         x, h, nm, _ = sampler.sample(
             trainer.sampling_params, jax.random.PRNGKey(5), counts, args.std,
-            polish=polish, polish_t=pt, polish_noise=pn,
+            polish=polish, polish_t=pt, polish_noise=pn, polish_steps=args.steps,
         )
         jax.block_until_ready(x)
         secs = time.time() - t0
