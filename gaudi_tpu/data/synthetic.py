@@ -316,7 +316,7 @@ def _deform(pts, rng, bend_scale, twist_scale):
 
 
 def _roundtrip_valid(centers, type_idx, hetero_plan, cell_vertices,
-                     coords, dataset):
+                     coords, dataset, trials=3):
     """Evaluator-fidelity filter: reconstruction must round-trip.
 
     The GOR->GOA evaluator reconstructs atoms from 2-D-projected ring
@@ -348,7 +348,7 @@ def _roundtrip_valid(centers, type_idx, hetero_plan, cell_vertices,
     # round-trip, float32 cache): demand the round-trip survive small
     # jitter so only robust geometries ship
     rng = np.random.default_rng(12345)
-    for trial in range(3):
+    for trial in range(max(int(trials), 1)):
         xt = xi if trial == 0 else xi + rng.normal(0.0, 2e-3, xi.shape)
         try:
             _, atom_types, bonds = gor2goa(xt, ti, dataset=dataset)
@@ -414,6 +414,7 @@ def generate_dataset(
     jitter: float = 0.02,
     bend_scale: float = 0.08,
     twist_scale: float = 0.07,
+    roundtrip_trials: int = 3,
 ) -> str:
     """Write <root>/<dataset>.csv + <root>/<dataset>-xyz/*.xyz; returns csv path.
 
@@ -505,7 +506,8 @@ def generate_dataset(
                 (connectivity_matrix(mol) == adj_planar).all()
                 and _centers_pass(centers, type_idx, dataset)
                 and _roundtrip_valid(
-                    centers, type_idx, hetero_plan, cell_vertices, d, dataset
+                    centers, type_idx, hetero_plan, cell_vertices, d, dataset,
+                    trials=roundtrip_trials,
                 )
             ):
                 accepted = d
