@@ -38,7 +38,10 @@ class EDMConfig:
     batch_size: int = 256
     clip_grad: bool = True
 
-    # model (reference utils/args_edm.py:27-37)
+    # model (reference utils/args_edm.py:27-37; mode is the EGNN_dynamics
+    # constructor knob, reference edm/egnn/models.py:21 — "egnn_dynamics"
+    # or the non-equivariant "gnn_dynamics" ablation)
+    model: str = "egnn_dynamics"
     n_layers: int = 9
     nf: int = 192
     tanh: bool = True

@@ -109,8 +109,10 @@ class EdgeMLPIn(nn.Module):
         # h: [B, N, H_in], edge_attr: [B, N, N, E] -> [B, N, N, hidden]
         src = nn.Dense(self.hidden_nf, use_bias=False, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="src")(h)
         dst = nn.Dense(self.hidden_nf, use_bias=True, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="dst")(h)
-        edg = nn.Dense(self.hidden_nf, use_bias=False, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge")(edge_attr)
-        return src[:, :, None, :] + dst[:, None, :, :] + edg
+        out = src[:, :, None, :] + dst[:, None, :, :]
+        if edge_attr.shape[-1] > 0:  # edge-attr-free GCLs (DenseGNN) skip this
+            out = out + nn.Dense(self.hidden_nf, use_bias=False, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge")(edge_attr)
+        return out
 
 
 class DenseGCL(nn.Module):
@@ -362,6 +364,50 @@ class DynamicsEGNN(nn.Module):
         return h, x
 
 
+class DenseGNN(nn.Module):
+    """Non-equivariant message-passing trunk (ablation baseline).
+
+    Mirrors reference GNN (edm/egnn/egnn_new.py:324-375) as used by the
+    'gnn_dynamics' mode of EGNN_dynamics (edm/egnn/models.py:51-66,119-123):
+    embedding -> n_layers plain GCLs with *no* edge attributes -> output
+    embedding -> node mask. Two reference quirks reproduced deliberately:
+
+    - the GNN-mode call passes no edge_mask (models.py:121), so messages are
+      aggregated over ALL padded slots and self-loops; padded-node inputs are
+      zero but MLP biases still contribute. We pass an all-ones edge mask to
+      the dense GCL to match.
+    - the embedding output is not masked before the first GCL (egnn_new.py:365),
+      so padded nodes enter layer 0 with the embedding bias.
+    """
+
+    hidden_nf: int
+    out_node_nf: int
+    n_layers: int = 4
+    attention: bool = False
+    normalization_factor: float = 1.0
+    aggregation_method: str = "sum"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jax.Array, node_mask: jax.Array) -> jax.Array:
+        b, n, _ = h.shape
+        node_mask = node_mask.astype(self.dtype)
+        ones_edge = jnp.ones((b, n, n), dtype=self.dtype)
+        empty_edge_attr = jnp.zeros((b, n, n, 0), dtype=self.dtype)
+        h = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="embedding")(h)
+        for i in range(self.n_layers):
+            h = DenseGCL(
+                hidden_nf=self.hidden_nf,
+                attention=self.attention,
+                normalization_factor=self.normalization_factor,
+                aggregation_method=self.aggregation_method,
+                dtype=self.dtype,
+                name=f"gcl_{i}",
+            )(h, empty_edge_attr, node_mask, ones_edge)
+        h = nn.Dense(self.out_node_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="embedding_out")(h)
+        return h * node_mask
+
+
 class EGNNDynamics(nn.Module):
     """eps-prediction head for the diffusion model.
 
@@ -387,6 +433,7 @@ class EGNNDynamics(nn.Module):
     aggregation_method: str = "sum"
     condition_time: bool = True
     context_node_nf: int = 0
+    mode: str = "egnn_dynamics"  # or "gnn_dynamics" (reference models.py:21,51)
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -417,27 +464,47 @@ class EGNNDynamics(nn.Module):
                 [h, context.reshape(b, n, self.context_node_nf)], axis=-1
             )
 
-        h_final, x_final = DynamicsEGNN(
-            hidden_nf=self.hidden_nf,
-            out_node_nf=self.in_node_nf
-            + int(self.condition_time)
-            + self.context_node_nf,
-            n_layers=self.n_layers,
-            inv_sublayers=self.inv_sublayers,
-            attention=self.attention,
-            tanh=self.tanh,
-            coords_range=self.coords_range,
-            norm_constant=self.norm_constant,
-            sin_embedding=self.sin_embedding,
-            normalization_factor=self.normalization_factor,
-            aggregation_method=self.aggregation_method,
-            dtype=self.dtype,
-            remat=self.remat,
-            name="egnn",
-        )(h.astype(self.dtype), x, node_mask, edge_mask)
-        h_final = h_final.astype(jnp.float32)
-
-        vel = (x_final - x) * node_mask
+        if self.mode == "gnn_dynamics":
+            # Reference models.py:119-123: run the plain GNN over [x | h] and
+            # slice velocity from the first 3 output channels. Note the
+            # reference sizes the output as 3 + in_node_nf (+time, no context
+            # slot, models.py:55) — reproduced, including the fact that the
+            # context slice below would misalign if context were ever used
+            # with this dead-by-default mode.
+            out = DenseGNN(
+                hidden_nf=self.hidden_nf,
+                out_node_nf=3 + self.in_node_nf + int(self.condition_time),
+                n_layers=self.n_layers,
+                attention=self.attention,
+                normalization_factor=self.normalization_factor,
+                aggregation_method=self.aggregation_method,
+                dtype=self.dtype,
+                name="gnn",
+            )(jnp.concatenate([x, h], axis=-1).astype(self.dtype), node_mask)
+            out = out.astype(jnp.float32)
+            vel = out[:, :, :3] * node_mask
+            h_final = out[:, :, 3:]
+        else:
+            h_final, x_final = DynamicsEGNN(
+                hidden_nf=self.hidden_nf,
+                out_node_nf=self.in_node_nf
+                + int(self.condition_time)
+                + self.context_node_nf,
+                n_layers=self.n_layers,
+                inv_sublayers=self.inv_sublayers,
+                attention=self.attention,
+                tanh=self.tanh,
+                coords_range=self.coords_range,
+                norm_constant=self.norm_constant,
+                sin_embedding=self.sin_embedding,
+                normalization_factor=self.normalization_factor,
+                aggregation_method=self.aggregation_method,
+                dtype=self.dtype,
+                remat=self.remat,
+                name="egnn",
+            )(h.astype(self.dtype), x, node_mask, edge_mask)
+            h_final = h_final.astype(jnp.float32)
+            vel = (x_final - x) * node_mask
         if self.context_node_nf > 0:
             h_final = h_final[:, :, : -self.context_node_nf]
         if self.condition_time:

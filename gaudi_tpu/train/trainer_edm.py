@@ -50,6 +50,7 @@ def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
         normalization_factor=cfg.normalization_factor,
         aggregation_method=cfg.aggregation_method,
         condition_time=True,
+        mode=cfg.model,
     )
     schedule = NoiseSchedule.create(
         cfg.diffusion_noise_schedule,

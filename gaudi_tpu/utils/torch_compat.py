@@ -51,11 +51,13 @@ def _split_edge_in(sd, prefix, hidden_nf) -> dict:
     w = _np(sd[prefix + ".weight"])  # [out, 2H + E]
     b = _np(sd[prefix + ".bias"])
     h = hidden_nf
-    return {
+    out = {
         "src": {"kernel": w[:, :h].T},
         "dst": {"kernel": w[:, h : 2 * h].T, "bias": b},
-        "edge": {"kernel": w[:, 2 * h :].T},
     }
+    if w.shape[1] > 2 * h:  # edge-attr-free GCLs (gnn mode) have no edge block
+        out["edge"] = {"kernel": w[:, 2 * h :].T}
+    return out
 
 
 def _gcl_params(sd, p, hidden_nf, attention) -> dict:
@@ -97,6 +99,24 @@ def dynamics_params_from_torch(
         }
         egnn[f"block_{i}"] = block
     return {"egnn": egnn}
+
+
+def gnn_dynamics_params_from_torch(
+    state_dict: Mapping, n_layers: int, hidden_nf: int, attention: bool = False
+) -> dict:
+    """Reference EGNN_dynamics(mode='gnn_dynamics') state_dict -> flax params.
+
+    Reference keys: `gnn.embedding`, `gnn.gcl_{i}.*`, `gnn.embedding_out`
+    (edm/egnn/models.py:51-66 constructing edm/egnn/egnn_new.py:324-361).
+    """
+    sd = strip_data_parallel(state_dict)
+    gnn = {
+        "embedding": _dense(sd, "gnn.embedding"),
+        "embedding_out": _dense(sd, "gnn.embedding_out"),
+    }
+    for i in range(n_layers):
+        gnn[f"gcl_{i}"] = _gcl_params(sd, f"gnn.gcl_{i}", hidden_nf, attention)
+    return {"gnn": gnn}
 
 
 def predictor_params_from_torch(

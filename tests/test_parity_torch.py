@@ -106,6 +106,61 @@ class TestDynamicsParity:
         np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-4, atol=1e-5)
 
 
+class TestGNNDynamicsParity:
+    """Parity for the non-equivariant 'gnn_dynamics' ablation mode
+    (reference edm/egnn/models.py:51-66,119-123)."""
+
+    def test_forward_matches(self):
+        from gaudi_tpu.utils.torch_compat import gnn_dynamics_params_from_torch
+        from edm.egnn.models import EGNN_dynamics
+
+        x, h, nm, em, t = _np_inputs(seed=3)
+        torch.manual_seed(4)
+        ref = EGNN_dynamics(
+            in_node_nf=K,
+            n_dims=3,
+            hidden_nf=H,
+            n_layers=N_LAYERS,
+            attention=False,
+            condition_time=True,
+            mode="gnn_dynamics",
+            normalization_factor=1,
+            aggregation_method="sum",
+            device="cpu",
+        )
+        xh_t = torch.tensor(np.concatenate([x, h], -1))
+        with torch.no_grad():
+            out_ref = ref._forward(
+                torch.tensor(t),
+                xh_t,
+                torch.tensor(nm[..., None]),
+                # edge_mask unused by the gnn branch but required by signature
+                torch.tensor(em.reshape(B * N * N, 1)),
+                context=None,
+            ).numpy()
+
+        model = EGNNDynamics(
+            in_node_nf=K,
+            hidden_nf=H,
+            n_layers=N_LAYERS,
+            attention=False,
+            mode="gnn_dynamics",
+        )
+        params = {
+            "params": gnn_dynamics_params_from_torch(
+                ref.state_dict(), N_LAYERS, H, attention=False
+            )
+        }
+        out = model.apply(
+            params,
+            jnp.asarray(t),
+            jnp.asarray(np.concatenate([x, h], -1)),
+            jnp.asarray(nm[..., None]),
+            jnp.asarray(em),
+        )
+        np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-4, atol=1e-5)
+
+
 class TestPredictorParity:
     def _torch_model(self):
         from edm.egnn_predictor.models import EGNN_predictor
