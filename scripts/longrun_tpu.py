@@ -152,6 +152,7 @@ def main():
             "dist_stable": round(vd["dist_stable"], 4),
             "connected": round(vd["connected"], 4),
             "angels3": round(vd.get("angels3", float("nan")), 4),
+            "angels4": round(vd.get("angels4", float("nan")), 4),
             "train_secs": round(train_secs, 1),
             "sample_secs": round(sample_secs, 1),
             "eval_secs": round(eval_secs, 1),
