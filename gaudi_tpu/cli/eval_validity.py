@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "per round)")
     p.add_argument("--polish-t", type=float, default=0.08,
                    help="re-noise level (fraction of T) for --polish")
+    p.add_argument("--polish-noise", type=float, default=1.0,
+                   help="damping of per-step posterior noise inside polish "
+                        "(<1 is DDIM-ward)")
+    p.add_argument("--polish-decay", type=float, default=0.6,
+                   help="per-round melt-temperature decay for --polish")
     p.add_argument("--tol", type=float, default=0.1)
     p.add_argument("--novelty", action="store_true")
     p.add_argument("--plots", type=int, default=5, help="save N stable/unstable plots")
@@ -46,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def sample_molecules(
     trainer, n_samples, batch_size, std, seed=0, mesh=None, n_steps=None,
-    polish=0, polish_t=0.08,
+    polish=0, polish_t=0.08, polish_noise=1.0, polish_decay=0.6,
 ):
     """Returns (molecule list for eval, wall-clock seconds)."""
     import jax
@@ -67,7 +72,8 @@ def sample_molecules(
         key, sub = jax.random.split(key)
         x, h, node_mask, _ = sampler.sample(
             trainer.sampling_params, sub, counts, std, n_steps=n_steps,
-            polish=polish, polish_t=polish_t,
+            polish=polish, polish_t=polish_t, polish_noise=polish_noise,
+            polish_decay=polish_decay,
         )
         jax.block_until_ready(x)
         mols += to_molecule_list(
@@ -105,12 +111,14 @@ def main(argv=None):
                 trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh,
                 n_steps=args.n_steps or None,
                 polish=args.polish, polish_t=args.polish_t,
+                polish_noise=args.polish_noise, polish_decay=args.polish_decay,
             )
     else:
         mols, secs = sample_molecules(
             trainer, args.n_samples, batch, args.std, args.seed, mesh=mesh,
             n_steps=args.n_steps or None,
             polish=args.polish, polish_t=args.polish_t,
+            polish_noise=args.polish_noise, polish_decay=args.polish_decay,
         )
     print(f"sampled {len(mols)} molecules in {secs:.2f}s "
           f"({len(mols)/secs:.1f} mol/s)")

@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "preserved; beyond-reference quality knob)")
     p.add_argument("--polish-t", type=float, default=0.05)
     p.add_argument("--polish-noise", type=float, default=0.5)
+    p.add_argument("--polish-decay", type=float, default=0.6,
+                   help="per-round melt-temperature decay for --polish")
     p.add_argument("--out-dir", default="best")
     p.add_argument("--platform", default="")
     p.add_argument("--seed", type=int, default=0)
@@ -154,7 +156,7 @@ def main(argv=None):
             return edm_trainer.edm.polish(
                 params, key, x, h, node_mask, edge_mask,
                 t_start=args.polish_t, rounds=args.polish,
-                noise_scale=args.polish_noise,
+                noise_scale=args.polish_noise, t_decay=args.polish_decay,
             )
 
         x, h = _polish(

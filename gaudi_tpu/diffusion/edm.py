@@ -554,6 +554,7 @@ class EDM:
         n_steps: int = 12,
         rounds: int = 2,
         noise_scale: float = 1.0,
+        t_decay: float = 0.6,
         context: Optional[jax.Array] = None,
     ) -> tuple[jax.Array, jax.Array]:
         """Manifold-projection polish of finished samples (SDEdit rounds).
@@ -569,14 +570,17 @@ class EDM:
         manifold at the cost of rounds*n_steps extra denoiser calls
         (~2% of a T=1000 generation). noise_scale < 1 damps the per-step
         posterior noise inside the polish scan (DDIM-ward interpolation:
-        stronger contraction onto the conditional modes).
+        stronger contraction onto the conditional modes). Round r melts to
+        t_start * t_decay**r; a larger t_start with the default decay gives
+        an annealed deep-melt schedule that can flip samples out of a wrong
+        dihedral basin, not just tighten in-basin geometry.
         """
         b = x.shape[0]
         for r in range(rounds):
             key, k_noise, k_scan, k_final = jax.random.split(key, 4)
             xs, hs, _ = self.normalize(x, h_onehot, node_mask)
             z = jnp.concatenate([xs, hs], axis=-1)
-            t_hi = max(int(round(t_start * (0.6**r) * self.T)), n_steps)
+            t_hi = max(int(round(t_start * (t_decay**r) * self.T)), n_steps)
             tt = jnp.full((b, 1), t_hi, jnp.float32) / self.T
             gamma_t = _inflate(self.schedule.gamma(tt), z.ndim)
             alpha_t = NoiseSchedule.alpha(gamma_t)

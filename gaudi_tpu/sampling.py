@@ -70,7 +70,7 @@ class Sampler:
     @lru_cache(maxsize=8)
     def _jit_sample(self, std: float, n_steps=None, polish: int = 0,
                     polish_t: float = 0.08, polish_noise: float = 1.0,
-                    polish_steps: int = 12):
+                    polish_steps: int = 12, polish_decay: float = 0.6):
         def fn(params, key, n_nodes):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
@@ -85,7 +85,7 @@ class Sampler:
                 x, h = self.edm.polish(
                     params, k_p, x, h, node_mask, edge_mask,
                     t_start=polish_t, rounds=polish, noise_scale=polish_noise,
-                    n_steps=polish_steps,
+                    n_steps=polish_steps, t_decay=polish_decay,
                 )
             return x, h, node_mask, edge_mask
 
@@ -106,7 +106,7 @@ class Sampler:
 
     def sample(self, params, key, nodesxsample, std: float = 0.7, n_steps=None,
                polish: int = 0, polish_t: float = 0.08, polish_noise: float = 1.0,
-               polish_steps: int = 12):
+               polish_steps: int = 12, polish_decay: float = 0.6):
         """Unconditional molecules (reference sample_pos_edm :128-169).
 
         nodesxsample: [B] ring counts. Returns (x, h_onehot, node_mask,
@@ -117,7 +117,7 @@ class Sampler:
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
         return self._jit_sample(
             float(std), n_steps, int(polish), float(polish_t),
-            float(polish_noise), int(polish_steps)
+            float(polish_noise), int(polish_steps), float(polish_decay)
         )(params, key, n_nodes)
 
     def sample_chain(

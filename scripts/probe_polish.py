@@ -16,7 +16,9 @@ def main():
     ap.add_argument("--polish-t", type=float, nargs="+", default=[0.08])
     ap.add_argument("--rounds", type=int, nargs="+", default=[2])
     ap.add_argument("--noise", type=float, nargs="+", default=[1.0])
+    ap.add_argument("--decay", type=float, default=0.6)
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
     from gaudi_tpu.cli.common import load_edm_from_dir, setup_platform
@@ -37,6 +39,7 @@ def main():
         x, h, nm, _ = sampler.sample(
             trainer.sampling_params, jax.random.PRNGKey(5), counts, args.std,
             polish=polish, polish_t=pt, polish_noise=pn, polish_steps=args.steps,
+            polish_decay=args.decay,
         )
         jax.block_until_ready(x)
         secs = time.time() - t0
@@ -45,7 +48,8 @@ def main():
         vd, _ = analyze_validity_for_molecules(mols, dataset=cfg.dataset)
         cd = analyze_chemical_validity_for_molecules(mols, dataset=cfg.dataset)
         return {
-            "polish": polish, "t": pt, "noise": pn, "secs": round(secs, 1),
+            "polish": polish, "t": pt, "noise": pn, "decay": args.decay,
+            "std": args.std, "secs": round(secs, 1),
             "mol_stable": round(vd["mol_stable"], 4),
             "angels3": round(vd["angels3"], 4),
             "angels4": round(vd["angels4"], 4),
@@ -54,7 +58,8 @@ def main():
             "mol_unique": round(cd["mol_unique"], 4),
         }
 
-    print(run(0, 0.08))
+    if not args.skip_baseline:
+        print(run(0, 0.08))
     for pt in args.polish_t:
         for r in args.rounds:
             for pn in args.noise:
