@@ -68,6 +68,17 @@ class TestCLI:
         assert 0.0 <= out["chemistry"]["mol_valid"] <= 1.0
         assert out["sampling_seconds"] > 0
 
+    def test_eval_validity_polish_flags(self, trained):
+        # exact flag set the campaign scripts pass (scripts/phase_r2b.sh);
+        # a missing knob here silently kills the scheduled final evals
+        out = eval_validity.main(
+            ["--exp-dir", f"{trained}/summary/edm", "--n-samples", "8",
+             "--batch-size", "8", "--plots", "0", "--polish", "2",
+             "--polish-t", "0.05", "--polish-noise", "0.5",
+             "--polish-decay", "0.7"]
+        )
+        assert 0.0 <= out["stability"]["mol_stable"] <= 1.0
+
     def test_eval_predictor(self, trained):
         out = eval_predictor.main(
             ["--exp-dir", f"{trained}/psummary/pred", "--n-levels", "3"]
