@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ema", type=float, default=0.0,
                    help="EMA decay for sampling weights (0 = off, reference "
                         "behavior; 0.999 is the standard diffusion upgrade)")
+    p.add_argument("--t-bias-frac", type=float, default=0.0,
+                   help="fraction of each batch drawing t from the low range "
+                        "U[0, t_bias_cap*T] (low-t fine-tune; 0 = uniform t)")
+    p.add_argument("--t-bias-cap", type=float, default=0.1,
+                   help="upper edge (fraction of T) of the biased t range")
     return p
 
 
@@ -67,6 +72,8 @@ def main(argv=None):
         seed=args.seed,
         dtype=args.dtype,
         ema_decay=args.ema,
+        t_bias_frac=args.t_bias_frac,
+        t_bias_cap=args.t_bias_cap,
     )
 
     mesh = None

@@ -69,6 +69,13 @@ class EDMConfig:
     # never enables it (SURVEY §2.6); 0.0 reproduces that. Nonzero (e.g.
     # 0.999) is the standard diffusion-quality upgrade.
     ema_decay: float = 0.0
+    # Low-t emphasis for fine-tuning: this fraction of each training batch
+    # draws t_int from U[0, t_bias_cap*T] instead of U[0, T], sharpening
+    # the learned score near the data manifold (final-geometry precision,
+    # SDEdit polish quality). 0.0 reproduces the reference's uniform-t
+    # loss (en_diffusion.py:702-705) exactly.
+    t_bias_frac: float = 0.0
+    t_bias_cap: float = 0.1
 
     @property
     def exp_dir(self) -> str:

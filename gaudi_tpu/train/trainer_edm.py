@@ -141,8 +141,24 @@ class EDMTrainer:
 
     def _loss_impl(self, params, x, h, n_nodes, weight, key, train):
         x, h, node_mask, edge_mask = self._prep(x, h, n_nodes)
+        t_int = None
+        if train and self.cfg.t_bias_frac > 0.0:
+            # Low-t fine-tune: draw t for a leading slice of the (shuffled)
+            # batch from U[0, cap*T] instead of U[0, T]. Overrides only the
+            # t draw; the loss itself is unchanged (config.py t_bias_frac).
+            key, k_lo, k_hi = jax.random.split(key, 3)
+            b = x.shape[0]
+            n_lo = int(round(b * self.cfg.t_bias_frac))
+            cap = max(1, int(self.edm.T * self.cfg.t_bias_cap))
+            t_int = jnp.concatenate(
+                [
+                    jax.random.randint(k_lo, (n_lo, 1), 0, cap + 1),
+                    jax.random.randint(k_hi, (b - n_lo, 1), 0, self.edm.T + 1),
+                ],
+                axis=0,
+            ).astype(jnp.float32)
         loss, aux = self.edm.loss(
-            params, key, x, h, node_mask, edge_mask, training=train
+            params, key, x, h, node_mask, edge_mask, training=train, t_int=t_int
         )
         wsum = jnp.maximum(weight.sum(), 1.0)
         return (loss * weight).sum() / wsum, aux

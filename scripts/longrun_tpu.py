@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--nf", type=int, default=192)
     ap.add_argument("--n-layers", type=int, default=9)
     ap.add_argument("--diffusion-steps", type=int, default=1000)
+    ap.add_argument("--t-bias-frac", type=float, default=0.0,
+                    help="low-t fine-tune: fraction of each batch drawing t "
+                         "from U[0, t_bias_cap*T]")
+    ap.add_argument("--t-bias-cap", type=float, default=0.1)
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
 
@@ -95,6 +99,8 @@ def main():
         ema_decay=args.ema,
         restore=restore,
         seed=args.seed,
+        t_bias_frac=args.t_bias_frac,
+        t_bias_cap=args.t_bias_cap,
     )
     trainer = EDMTrainer(cfg)
     cfg.save()

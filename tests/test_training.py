@@ -114,6 +114,39 @@ class TestEDMTrainer:
         v2 = tr2.eval_epoch(tr2.val_ds, jax.random.PRNGKey(7))
         assert v1 == pytest.approx(v2)  # deterministic given key
 
+    def test_t_bias_caps_the_biased_slice(self, tiny_exp):
+        """With t_bias_frac on, the leading batch slice draws t <= cap*T and
+        the t draw is exactly uniform when the bias is off."""
+        import dataclasses
+
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        _, cfg = tiny_exp
+        cfg_b = dataclasses.replace(cfg, t_bias_frac=0.5, t_bias_cap=0.1)
+        tr = EDMTrainer(cfg_b)
+
+        captured = {}
+        orig_loss = tr.edm.loss
+
+        def spy(params, key, x, h, nm, em, training=True, t_int=None, **kw):
+            captured["t_int"] = t_int
+            return orig_loss(params, key, x, h, nm, em,
+                             training=training, t_int=t_int, **kw)
+
+        object.__setattr__(tr.edm, "loss", spy)  # EDM is a frozen pytree dataclass
+        batch = next(tr.train_ds.iter_batches(16, rng=np.random.default_rng(0)))
+        args = tuple(jnp.asarray(batch[k]) for k in ("x", "h", "n_nodes", "weight"))
+        loss, _ = tr._loss_impl(tr.state.params, *args, jax.random.PRNGKey(0), True)
+        t = np.asarray(captured["t_int"])[:, 0]
+        cap = int(tr.edm.T * 0.1)
+        assert (t[:8] <= cap).all()          # biased slice capped
+        assert t.min() >= 0 and t.max() <= tr.edm.T
+        assert np.isfinite(float(loss))
+
+        # eval path must stay uniform (t_int=None)
+        tr._loss_impl(tr.state.params, *args, jax.random.PRNGKey(0), False)
+        assert captured["t_int"] is None
+
     def test_dp_sharded_step_matches_single(self, tiny_exp):
         """The mesh-sharded train step must produce the same loss as the
         unsharded one (same data, same RNG)."""
