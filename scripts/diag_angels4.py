@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--exp-dir", default="runs/longrun/summary/longrun-edm")
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--std", type=float, default=0.7)
+    ap.add_argument("--polish", type=int, default=0)
+    ap.add_argument("--polish-t", type=float, default=0.15)
+    ap.add_argument("--noise", type=float, default=0.3)
+    ap.add_argument("--decay", type=float, default=0.6)
     args = ap.parse_args()
 
     from gaudi_tpu.cli.common import load_edm_from_dir, setup_platform
@@ -73,7 +77,11 @@ def main():
 
     cfg, trainer = load_edm_from_dir(args.exp_dir)
     from gaudi_tpu.cli.eval_validity import sample_molecules
-    mols, dt = sample_molecules(trainer, args.n, args.n, args.std, seed=7)
+    mols, dt = sample_molecules(
+        trainer, args.n, args.n, args.std, seed=7,
+        polish=args.polish, polish_t=args.polish_t,
+        polish_noise=args.noise, polish_decay=args.decay,
+    )
     print(f"sampled {len(mols)} in {dt:.1f}s")
 
     from gaudi_tpu.eval_chem.stability import check_stability
@@ -127,11 +135,8 @@ def main():
     # ground truth comparison
     from gaudi_tpu.data.dataset import DatasetConfig, create_datasets
     dcfg = DatasetConfig(dataset=cfg.dataset, csv_file=cfg.csv_file, xyz_root=cfg.xyz_root,
-                         targets=list(cfg.targets) if getattr(cfg, "targets", None) else None)
-    try:
-        tr, _, _ = create_datasets(dcfg)
-    except TypeError:
-        tr, _, _ = create_datasets(dcfg)
+                         target_features=cfg.target_features)
+    tr, _, _ = create_datasets(dcfg)
     rng = np.random.default_rng(0)
     idx = rng.choice(len(tr), size=min(512, len(tr)), replace=False)
     gt_fail = 0
@@ -151,8 +156,10 @@ def main():
         gt_d += [q[0] for q in qs]
         gt_z.append(float(x[:, 2].max() - x[:, 2].min()))
     gd = np.array(gt_d)
-    print(f"ground truth: angels4 fail {gt_fail}/{len(idx)}; dihedral mid-frac="
-          f"{np.mean((gd>HI)&(gd<LO)):.4f}; z-extent median={np.median(gt_z):.3f}")
+    print(f"ground truth: angels4 fail {gt_fail}/{len(idx)}; n_quads={len(gd)}; "
+          f"dihedral mid-frac={np.mean((gd>HI)&(gd<LO)):.4f}; "
+          f"near180={np.mean(gd>=LO):.3f} near0={np.mean(gd<=HI):.3f}; "
+          f"z-extent median={np.median(gt_z):.3f}")
 
 
 if __name__ == "__main__":
