@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(<1 is DDIM-ward)")
     p.add_argument("--polish-decay", type=float, default=0.6,
                    help="per-round melt-temperature decay for --polish")
+    p.add_argument("--polish-guide", default="",
+                   help="physics prior from diffusion/priors.py applied "
+                        "inside polish rounds (e.g. 'planarity')")
+    p.add_argument("--polish-guide-scale", type=float, default=0.0)
     p.add_argument("--tol", type=float, default=0.1)
     p.add_argument("--novelty", action="store_true")
     p.add_argument("--plots", type=int, default=5, help="save N stable/unstable plots")
@@ -52,6 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
 def sample_molecules(
     trainer, n_samples, batch_size, std, seed=0, mesh=None, n_steps=None,
     polish=0, polish_t=0.08, polish_noise=1.0, polish_decay=0.6,
+    polish_guide="", polish_guide_scale=0.0,
 ):
     """Returns (molecule list for eval, wall-clock seconds)."""
     import jax
@@ -74,6 +79,7 @@ def sample_molecules(
             trainer.sampling_params, sub, counts, std, n_steps=n_steps,
             polish=polish, polish_t=polish_t, polish_noise=polish_noise,
             polish_decay=polish_decay,
+            polish_guide=polish_guide, polish_guide_scale=polish_guide_scale,
         )
         jax.block_until_ready(x)
         mols += to_molecule_list(
@@ -112,6 +118,8 @@ def main(argv=None):
                 n_steps=args.n_steps or None,
                 polish=args.polish, polish_t=args.polish_t,
                 polish_noise=args.polish_noise, polish_decay=args.polish_decay,
+                polish_guide=args.polish_guide,
+                polish_guide_scale=args.polish_guide_scale,
             )
     else:
         mols, secs = sample_molecules(
@@ -119,6 +127,8 @@ def main(argv=None):
             n_steps=args.n_steps or None,
             polish=args.polish, polish_t=args.polish_t,
             polish_noise=args.polish_noise, polish_decay=args.polish_decay,
+            polish_guide=args.polish_guide,
+            polish_guide_scale=args.polish_guide_scale,
         )
     print(f"sampled {len(mols)} molecules in {secs:.2f}s "
           f"({len(mols)/secs:.1f} mol/s)")

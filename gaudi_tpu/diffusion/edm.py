@@ -556,6 +556,8 @@ class EDM:
         noise_scale: float = 1.0,
         t_decay: float = 0.6,
         context: Optional[jax.Array] = None,
+        guide_fn: Optional[TargetFn] = None,
+        guide_scale: float = 0.0,
     ) -> tuple[jax.Array, jax.Array]:
         """Manifold-projection polish of finished samples (SDEdit rounds).
 
@@ -574,6 +576,11 @@ class EDM:
         t_start * t_decay**r; a larger t_start with the default decay gives
         an annealed deep-melt schedule that can flip samples out of a wrong
         dihedral basin, not just tighten in-basin geometry.
+
+        `guide_fn`/`guide_scale` optionally apply the same gradient-descent
+        move as the guided sampler inside each polish step (per-sample norm
+        clip, CoM projection) — intended for the physics priors in
+        `diffusion/priors.py` (e.g. planarity), not just learned targets.
         """
         b = x.shape[0]
         for r in range(rounds):
@@ -599,9 +606,22 @@ class EDM:
                 eps_n = M.sample_combined_noise(
                     k, b, z.shape[1], self.n_dims, self.in_node_nf, node_mask
                 )
-                return self._project_z(
+                zs = self._project_z(
                     mu + noise_scale * sigma * eps_n, node_mask
                 )
+                if guide_fn is not None and guide_scale:
+                    def energy(zz):
+                        return guide_scale * guide_fn(
+                            zz, node_mask, edge_mask, t
+                        ).sum()
+
+                    grad = jax.grad(energy)(zs)
+                    gn = jnp.sqrt(jnp.sum(grad**2, axis=(1, 2)))
+                    grad = grad * jnp.minimum(10.0 / (gn + 1e-6), 1.0)[:, None, None]
+                    grad = self._project_z(grad, node_mask)
+                    zs = self._project_z(zs - sigma * grad, node_mask)
+                    zs = jnp.nan_to_num(zs, nan=0.0)
+                return zs
 
             t_idx, s_idx = self._reverse_grid(n_steps, t_hi=t_hi)
             keys = jax.random.split(k_scan, t_idx.shape[0])

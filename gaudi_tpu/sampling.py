@@ -70,7 +70,14 @@ class Sampler:
     @lru_cache(maxsize=8)
     def _jit_sample(self, std: float, n_steps=None, polish: int = 0,
                     polish_t: float = 0.08, polish_noise: float = 1.0,
-                    polish_steps: int = 12, polish_decay: float = 0.6):
+                    polish_steps: int = 12, polish_decay: float = 0.6,
+                    polish_guide: str = "", polish_guide_scale: float = 0.0):
+        guide_fn = None
+        if polish and polish_guide and polish_guide_scale:
+            from gaudi_tpu.diffusion.priors import get_prior
+
+            guide_fn = get_prior(polish_guide)
+
         def fn(params, key, n_nodes):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
@@ -86,6 +93,7 @@ class Sampler:
                     params, k_p, x, h, node_mask, edge_mask,
                     t_start=polish_t, rounds=polish, noise_scale=polish_noise,
                     n_steps=polish_steps, t_decay=polish_decay,
+                    guide_fn=guide_fn, guide_scale=polish_guide_scale,
                 )
             return x, h, node_mask, edge_mask
 
@@ -106,18 +114,22 @@ class Sampler:
 
     def sample(self, params, key, nodesxsample, std: float = 0.7, n_steps=None,
                polish: int = 0, polish_t: float = 0.08, polish_noise: float = 1.0,
-               polish_steps: int = 12, polish_decay: float = 0.6):
+               polish_steps: int = 12, polish_decay: float = 0.6,
+               polish_guide: str = "", polish_guide_scale: float = 0.0):
         """Unconditional molecules (reference sample_pos_edm :128-169).
 
         nodesxsample: [B] ring counts. Returns (x, h_onehot, node_mask,
         edge_mask) with x CoM-free and masked. n_steps < T opts into the
         strided few-step sampler; polish > 0 appends that many SDEdit
-        manifold-projection rounds (both beyond-reference knobs).
+        manifold-projection rounds; polish_guide names a physics prior from
+        diffusion/priors.py applied inside those rounds (all
+        beyond-reference knobs).
         """
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
         return self._jit_sample(
             float(std), n_steps, int(polish), float(polish_t),
-            float(polish_noise), int(polish_steps), float(polish_decay)
+            float(polish_noise), int(polish_steps), float(polish_decay),
+            str(polish_guide), float(polish_guide_scale),
         )(params, key, n_nodes)
 
     def sample_chain(

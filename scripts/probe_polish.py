@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--noise", type=float, nargs="+", default=[1.0])
     ap.add_argument("--decay", type=float, default=0.6)
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--guide", default="")
+    ap.add_argument("--guide-scale", type=float, nargs="+", default=[0.0])
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -34,12 +36,13 @@ def main():
     rng = np.random.default_rng(3)
     counts = trainer.nodes_dist.sample(args.n, rng)
 
-    def run(polish, pt, pn=1.0):
+    def run(polish, pt, pn=1.0, gs=0.0):
         t0 = time.time()
         x, h, nm, _ = sampler.sample(
             trainer.sampling_params, jax.random.PRNGKey(5), counts, args.std,
             polish=polish, polish_t=pt, polish_noise=pn, polish_steps=args.steps,
             polish_decay=args.decay,
+            polish_guide=args.guide if gs else "", polish_guide_scale=gs,
         )
         jax.block_until_ready(x)
         secs = time.time() - t0
@@ -49,6 +52,7 @@ def main():
         cd = analyze_chemical_validity_for_molecules(mols, dataset=cfg.dataset)
         return {
             "polish": polish, "t": pt, "noise": pn, "decay": args.decay,
+            "guide": (args.guide if gs else ""), "gs": gs,
             "std": args.std, "secs": round(secs, 1),
             "mol_stable": round(vd["mol_stable"], 4),
             "angels3": round(vd["angels3"], 4),
@@ -63,7 +67,8 @@ def main():
     for pt in args.polish_t:
         for r in args.rounds:
             for pn in args.noise:
-                print(run(r, pt, pn))
+                for gs in args.guide_scale:
+                    print(run(r, pt, pn, gs), flush=True)
 
 
 if __name__ == "__main__":

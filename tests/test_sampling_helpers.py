@@ -167,3 +167,108 @@ class TestPolish:
         # one-hot types on live nodes
         live_h = h[nmb]
         assert np.allclose(live_h.sum(-1), 1.0)
+
+
+class TestPlanarityPrior:
+    """diffusion/priors.py: physics-prior energies for guided polish."""
+
+    def _cloud(self, twist):
+        rng = np.random.default_rng(0)
+        xy = rng.normal(size=(1, 6, 2)) * 2.0
+        z = np.zeros((1, 6, 1))
+        z[0, ::2, 0] = twist
+        return np.concatenate([xy, z], -1).astype(np.float32)
+
+    def test_zero_on_planar_positive_on_twisted(self):
+        import jax.numpy as jnp
+
+        from gaudi_tpu.diffusion.priors import planarity_energy
+
+        nm = np.ones((1, 6, 1), np.float32)
+        flat = planarity_energy(jnp.asarray(self._cloud(0.0)), jnp.asarray(nm))
+        bent = planarity_energy(jnp.asarray(self._cloud(1.0)), jnp.asarray(nm))
+        assert float(flat[0]) < 1e-6
+        assert float(bent[0]) > 0.1
+
+    def test_rotation_invariant_and_mask_respected(self):
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+
+        from gaudi_tpu.diffusion.priors import planarity_energy
+
+        x = self._cloud(0.7)
+        R = Rotation.from_euler("xyz", [0.3, 1.1, -0.6]).as_matrix().astype(np.float32)
+        xr = x @ R.T
+        nm = np.ones((1, 6, 1), np.float32)
+        e1 = planarity_energy(jnp.asarray(x), jnp.asarray(nm))
+        e2 = planarity_energy(jnp.asarray(xr), jnp.asarray(nm))
+        np.testing.assert_allclose(float(e1[0]), float(e2[0]), rtol=1e-4)
+        # masking out the twisted nodes must zero the energy
+        nm2 = nm.copy()
+        nm2[0, ::2] = 0
+        # masked slots may hold garbage — they must not contribute
+        xg = x.copy()
+        xg[0, ::2] += 99.0
+        e3 = planarity_energy(jnp.asarray(xg), jnp.asarray(nm2))
+        assert float(e3[0]) < 1e-5
+
+    def test_gradient_flattens(self):
+        """One gradient step must reduce the energy (descent direction)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gaudi_tpu.diffusion.priors import planarity_energy
+
+        nm = jnp.ones((1, 6, 1))
+        x = jnp.asarray(self._cloud(0.8))
+        g = jax.grad(lambda z: planarity_energy(z, nm).sum())(x)
+        assert np.isfinite(np.asarray(g)).all()
+        e0 = float(planarity_energy(x, nm)[0])
+        e1 = float(planarity_energy(x - 0.1 * g, nm)[0])
+        assert e1 < e0
+
+    def test_guided_polish_contract_and_flattening(self):
+        """Sampler polish with the planarity guide keeps the sample contract
+        and yields flatter clouds than unguided polish (same keys)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gaudi_tpu.core import masked as M
+        from gaudi_tpu.diffusion.edm import EDM
+        from gaudi_tpu.diffusion.priors import planarity_energy
+        from gaudi_tpu.diffusion.schedule import NoiseSchedule
+        from gaudi_tpu.models.egnn import EGNNDynamics
+        from gaudi_tpu.sampling import Sampler
+
+        dyn = EGNNDynamics(in_node_nf=1, hidden_nf=16, n_layers=1)
+        edm = EDM(apply_fn=dyn.apply,
+                  schedule=NoiseSchedule.create("polynomial_2", 40),
+                  in_node_nf=1)
+        key = jax.random.PRNGKey(0)
+        nm, em = M.build_masks(jnp.array([5, 6], jnp.int32), 8)
+        z = M.sample_combined_noise(key, 2, 8, 3, 1, nm)
+        params = dyn.init(key, jnp.zeros((2, 1)), z, nm, em)
+
+        s = Sampler(edm, 8)
+        kw = dict(std=0.7, polish=2, polish_t=0.1, polish_noise=0.5)
+        xg, hg, nmg, _ = s.sample(params, key, np.array([5, 6]),
+                                  polish_guide="planarity",
+                                  polish_guide_scale=50.0, **kw)
+        xu, hu, _, _ = s.sample(params, key, np.array([5, 6]), **kw)
+        xg, xu = np.asarray(xg), np.asarray(xu)
+        assert np.isfinite(xg).all()
+        nmb = np.asarray(nmg)[..., 0] > 0
+        assert np.abs(xg[~nmb]).max() == 0            # masked slots zero
+        for i in range(2):                             # CoM-free
+            assert np.abs(xg[i][nmb[i]].mean(0)).max() < 1e-4
+        eg = planarity_energy(jnp.asarray(xg), jnp.asarray(nmg)).sum()
+        eu = planarity_energy(jnp.asarray(xu), jnp.asarray(nmg)).sum()
+        assert float(eg) < float(eu)
+
+    def test_unknown_prior_raises(self):
+        import pytest as _pytest
+
+        from gaudi_tpu.diffusion.priors import get_prior
+
+        with _pytest.raises(ValueError, match="unknown prior"):
+            get_prior("nope")
