@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--polish-noise", type=float, default=0.5)
     p.add_argument("--polish-decay", type=float, default=0.6,
                    help="per-round melt-temperature decay for --polish")
+    p.add_argument("--polish-guide", default="",
+                   help="physics prior from diffusion/priors.py applied "
+                        "inside polish rounds (e.g. 'planarity')")
+    p.add_argument("--polish-guide-scale", type=float, default=0.0)
     p.add_argument("--out-dir", default="best")
     p.add_argument("--platform", default="")
     p.add_argument("--seed", type=int, default=0)
@@ -151,12 +155,19 @@ def main(argv=None):
             scale=args.scale, std=args.std, n_steps=args.n_steps or None,
         )
     if args.polish:
+        guide_fn = None
+        if args.polish_guide and args.polish_guide_scale:
+            from gaudi_tpu.diffusion.priors import get_prior
+
+            guide_fn = get_prior(args.polish_guide)
+
         @jax.jit
         def _polish(params, key, x, h):
             return edm_trainer.edm.polish(
                 params, key, x, h, node_mask, edge_mask,
                 t_start=args.polish_t, rounds=args.polish,
                 noise_scale=args.polish_noise, t_decay=args.polish_decay,
+                guide_fn=guide_fn, guide_scale=args.polish_guide_scale,
             )
 
         x, h = _polish(
