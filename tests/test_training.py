@@ -172,6 +172,26 @@ class TestEDMTrainer:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
+    def test_dp_sharded_guided_polish_matches_single(self, tiny_exp):
+        """The polish path (incl. the physics-prior guided descent) must be
+        sharding-transparent like plain sampling."""
+        from gaudi_tpu.parallel.mesh import create_mesh
+        from gaudi_tpu.sampling import Sampler
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        _, cfg = tiny_exp
+        tr = EDMTrainer(cfg)
+        counts = np.full(16, 5, np.int64)
+        key = jax.random.PRNGKey(11)
+        kw = dict(std=0.7, polish=2, polish_t=0.1, polish_noise=0.5,
+                  polish_guide="planarity", polish_guide_scale=20.0)
+        s1 = Sampler(tr.edm, cfg.max_nodes)
+        x1, h1, _, _ = s1.sample(tr.state.params, key, counts, **kw)
+        s2 = Sampler(tr.edm, cfg.max_nodes, mesh=create_mesh(8))
+        x2, h2, _, _ = s2.sample(tr.state.params, key, counts, **kw)
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
     def test_dp_sharded_sampling_matches_single(self, tiny_exp):
         """Mesh-sharded sampling must equal single-device sampling exactly:
         JAX PRNG semantics are sharding-independent, so batch-sharding the
