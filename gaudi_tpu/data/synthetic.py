@@ -316,7 +316,7 @@ def _deform(pts, rng, bend_scale, twist_scale):
 
 
 def _roundtrip_valid(centers, type_idx, hetero_plan, cell_vertices,
-                     coords, dataset, trials=3):
+                     coords, dataset, trials=3, expect_valid=True):
     """Evaluator-fidelity filter: reconstruction must round-trip.
 
     The GOR->GOA evaluator reconstructs atoms from 2-D-projected ring
@@ -326,6 +326,10 @@ def _roundtrip_valid(centers, type_idx, hetero_plan, cell_vertices,
     and judge invalid; ~1% of cata). Accept only geometries whose
     reconstruction round-trips to a chemically valid molecule — the same
     oracle-by-construction contract the stability filter provides.
+
+    expect_valid=False (labeled mode) inverts the criterion: the
+    reconstruction must round-trip to the *same* verdict as the skeleton
+    label, so a validity classifier trains on evaluator-faithful labels.
     """
     from gaudi_tpu.data.rings import RINGS_LIST
     from gaudi_tpu.eval_chem.gor2goa import gor2goa
@@ -354,7 +358,7 @@ def _roundtrip_valid(centers, type_idx, hetero_plan, cell_vertices,
             _, atom_types, bonds = gor2goa(xt, ti, dataset=dataset)
         except Exception:
             return False
-        if not valence_valid(atom_types, bonds, dataset):
+        if valence_valid(atom_types, bonds, dataset) != bool(expect_valid):
             return False
     return True
 
@@ -415,11 +419,18 @@ def generate_dataset(
     bend_scale: float = 0.08,
     twist_scale: float = 0.07,
     roundtrip_trials: int = 3,
+    labeled: bool = False,
 ) -> str:
     """Write <root>/<dataset>.csv + <root>/<dataset>-xyz/*.xyz; returns csv path.
 
     Ring-count distribution is skewed towards max_rings like the real
     COMPAS histograms (utils/helpers.py:64-96).
+
+    labeled=True keeps chemically INVALID (radicaloid) skeletons instead of
+    filtering them and adds a 0/1 ``VALID`` target column — training data
+    for a validity classifier usable as a guidance target (max:VALID), the
+    same hook the reference uses for property targets
+    (generation_guidance.py:200-211).
     """
     rng = np.random.default_rng(seed)
     xyz_dir = os.path.join(root, f"{dataset}-xyz")
@@ -464,7 +475,8 @@ def generate_dataset(
         mol, cell_vertices = _patch_to_molecule(
             cells, hetero_plan or None, return_cell_vertices=True
         )
-        if not _skeleton_chemically_valid(mol, dataset):
+        chem_valid = _skeleton_chemically_valid(mol, dataset)
+        if not labeled and not chem_valid:
             continue
 
         # Out-of-plane bend/twist + jitter, oracle-filtered through the
@@ -491,7 +503,10 @@ def generate_dataset(
         coords_planar = mol.coords
         shrink = 1.0
         accepted = None
-        while accepted is None:
+        # bounded: a skeleton whose reconstruction cannot reproduce its own
+        # verdict even near the planar limit (possible for labeled-mode
+        # invalid skeletons) is skipped instead of looping forever
+        for _attempt in range(40):
             d = _deform(
                 coords_planar, rng, bend_scale * shrink, twist_scale * shrink
             )
@@ -507,11 +522,14 @@ def generate_dataset(
                 and _centers_pass(centers, type_idx, dataset)
                 and _roundtrip_valid(
                     centers, type_idx, hetero_plan, cell_vertices, d, dataset,
-                    trials=roundtrip_trials,
+                    trials=roundtrip_trials, expect_valid=chem_valid,
                 )
             ):
                 accepted = d
+                break
             shrink *= 0.6
+        if accepted is None:
+            continue
         mol.coords = accepted
 
         canon = (tuple(cells), tuple(sorted(hetero_plan.items())))
@@ -522,6 +540,8 @@ def generate_dataset(
         save_xyz(os.path.join(xyz_dir, name + ".xyz"), mol, comment=name)
         row = {"molecule": name, "n_rings": n_rings}
         row.update(_huckel_targets(mol, rng))
+        if labeled:
+            row["VALID"] = float(chem_valid)
         rows.append(row)
 
     df = pd.DataFrame(rows)

@@ -106,6 +106,33 @@ class TestSynthetic:
             rg = extract_ring_graph(mol, "cata")
             assert rg.n_rings == row["n_rings"]
 
+    def test_labeled_mode_keeps_invalid_with_column(self, tmp_path):
+        """labeled=True emits a VALID column with both classes present and
+        labels that match the chemical oracle on the written geometry."""
+        import pandas as pd
+
+        from gaudi_tpu.data.synthetic import _skeleton_chemically_valid
+
+        csv = generate_dataset(
+            str(tmp_path), "peri", n_molecules=24, max_rings=7, seed=1,
+            labeled=True, roundtrip_trials=1,
+        )
+        df = pd.read_csv(csv)
+        assert "VALID" in df.columns
+        vals = set(df["VALID"].astype(int))
+        assert vals == {0, 1}  # both classes must appear
+        for _, row in df.sample(6, random_state=0).iterrows():
+            mol = load_xyz(
+                os.path.join(str(tmp_path), "peri-xyz", row["molecule"] + ".xyz")
+            )
+            assert _skeleton_chemically_valid(mol, "peri") == bool(row["VALID"])
+
+    def test_unlabeled_mode_has_no_valid_column(self, tmp_path):
+        import pandas as pd
+
+        csv = generate_dataset(str(tmp_path), "cata", n_molecules=6, seed=5)
+        assert "VALID" not in pd.read_csv(csv).columns
+
     def test_huckel_targets_have_acene_trend(self, tmp_path):
         # longer linear acenes must have smaller Hueckel gaps
         from gaudi_tpu.data.synthetic import _huckel_targets
