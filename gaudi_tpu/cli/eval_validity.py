@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="physics prior from diffusion/priors.py applied "
                         "inside polish rounds (e.g. 'planarity')")
     p.add_argument("--polish-guide-scale", type=float, default=0.0)
+    p.add_argument("--guide-predictor-dir", default="",
+                   help="sample with classifier guidance from this trained "
+                        "predictor instead of unconditionally (e.g. a "
+                        "validity classifier trained on labeled synthetic "
+                        "data)")
+    p.add_argument("--guide-target", default="max:VALID",
+                   help="target spec for --guide-predictor-dir "
+                        "(generate.py syntax)")
+    p.add_argument("--guide-scale", type=float, default=1.0)
     p.add_argument("--tol", type=float, default=0.1)
     p.add_argument("--novelty", action="store_true")
     p.add_argument("--plots", type=int, default=5, help="save N stable/unstable plots")
@@ -57,8 +66,14 @@ def sample_molecules(
     trainer, n_samples, batch_size, std, seed=0, mesh=None, n_steps=None,
     polish=0, polish_t=0.08, polish_noise=1.0, polish_decay=0.6,
     polish_guide="", polish_guide_scale=0.0,
+    target_fn=None, guide_scale=0.0,
 ):
-    """Returns (molecule list for eval, wall-clock seconds)."""
+    """Returns (molecule list for eval, wall-clock seconds).
+
+    With target_fn/guide_scale set, samples through the guidance engine
+    (classifier guidance, e.g. toward a validity classifier) instead of
+    unconditionally; polish still applies afterwards.
+    """
     import jax
 
     from gaudi_tpu.sampling import Sampler, to_molecule_list
@@ -68,6 +83,23 @@ def sample_molecules(
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
 
+    guided = target_fn is not None and guide_scale
+    polish_fn = None
+    if guided and polish:
+        pg_fn = None
+        if polish_guide and polish_guide_scale:
+            from gaudi_tpu.diffusion.priors import get_prior
+
+            pg_fn = get_prior(polish_guide)
+
+        @jax.jit
+        def polish_fn(params, key, x, h, nm, em):
+            return trainer.edm.polish(
+                params, key, x, h, nm, em, t_start=polish_t, rounds=polish,
+                noise_scale=polish_noise, t_decay=polish_decay,
+                guide_fn=pg_fn, guide_scale=polish_guide_scale,
+            )
+
     mols = []
     t0 = time.time()
     remaining = n_samples
@@ -75,12 +107,23 @@ def sample_molecules(
         b = min(batch_size, remaining)
         counts = trainer.nodes_dist.sample(batch_size, rng)
         key, sub = jax.random.split(key)
-        x, h, node_mask, _ = sampler.sample(
-            trainer.sampling_params, sub, counts, std, n_steps=n_steps,
-            polish=polish, polish_t=polish_t, polish_noise=polish_noise,
-            polish_decay=polish_decay,
-            polish_guide=polish_guide, polish_guide_scale=polish_guide_scale,
-        )
+        if guided:
+            x, h, node_mask, em = sampler.sample_guidance(
+                trainer.sampling_params, sub, target_fn, counts,
+                scale=guide_scale, std=std, n_steps=n_steps,
+            )
+            if polish_fn is not None:
+                key, kp = jax.random.split(key)
+                x, h = polish_fn(
+                    trainer.sampling_params, kp, x, h, node_mask, em
+                )
+        else:
+            x, h, node_mask, _ = sampler.sample(
+                trainer.sampling_params, sub, counts, std, n_steps=n_steps,
+                polish=polish, polish_t=polish_t, polish_noise=polish_noise,
+                polish_decay=polish_decay,
+                polish_guide=polish_guide, polish_guide_scale=polish_guide_scale,
+            )
         jax.block_until_ready(x)
         mols += to_molecule_list(
             x[:b], h[:b], node_mask[:b],
@@ -100,6 +143,18 @@ def main(argv=None):
     )
 
     cfg, trainer = load_edm_from_dir(args.exp_dir)
+    target_fn = None
+    if args.guide_predictor_dir:
+        from gaudi_tpu.cli.common import load_predictor_from_dir
+        from gaudi_tpu.cli.generate import make_target_function
+        from gaudi_tpu.data import PropertyDistribution
+
+        pred_cfg, pred_trainer = load_predictor_from_dir(args.guide_predictor_dir)
+        target_fn = make_target_function(
+            args.guide_target, pred_trainer.model, pred_trainer.state.params,
+            PropertyDistribution(pred_trainer.train_ds),
+            pred_cfg.data_config().targets,
+        )
     mesh = None
     if args.dp:
         import jax as _jax
@@ -120,6 +175,7 @@ def main(argv=None):
                 polish_noise=args.polish_noise, polish_decay=args.polish_decay,
                 polish_guide=args.polish_guide,
                 polish_guide_scale=args.polish_guide_scale,
+                target_fn=target_fn, guide_scale=args.guide_scale,
             )
     else:
         mols, secs = sample_molecules(
@@ -129,6 +185,7 @@ def main(argv=None):
             polish_noise=args.polish_noise, polish_decay=args.polish_decay,
             polish_guide=args.polish_guide,
             polish_guide_scale=args.polish_guide_scale,
+            target_fn=target_fn, guide_scale=args.guide_scale,
         )
     print(f"sampled {len(mols)} molecules in {secs:.2f}s "
           f"({len(mols)/secs:.1f} mol/s)")
