@@ -100,30 +100,19 @@ def main():
     mol_per_s = batch / secs
     north_star = 1000.0 / 60.0
 
-    # roofline: XLA's own FLOP count for the whole T-step guided program
-    # vs the chip's bf16 peak (v5e/lite: 394 TFLOP/s; override with
-    # GAUDI_TPU_PEAK_FLOPS for other parts)
-    mfu_txt = ""
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        bytes_moved = float(ca.get("bytes accessed", 0.0))
-        if flops > 0:
-            peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 394e12))
-            mfu = flops / secs / peak
-            mfu_txt = (
-                f" flops={flops:.3e} ({flops/secs/1e12:.1f} TFLOP/s, "
-                f"MFU={mfu:.1%} of {peak/1e12:.0f}T peak)"
-            )
-            if bytes_moved > 0:
-                mfu_txt += (
-                    f" bytes={bytes_moved:.3e} "
-                    f"({bytes_moved/secs/1e9:.0f} GB/s HBM)"
-                )
-    except Exception:
-        pass
+    # roofline: analytic matmul FLOP floor for the whole T-step guided
+    # program (utils/flops.py — XLA's cost_analysis counts the scan body
+    # once, under-reporting ~T-fold) vs the chip's bf16 peak (v5e/lite:
+    # 394 TFLOP/s; override with GAUDI_TPU_PEAK_FLOPS for other parts)
+    from gaudi_tpu.utils.flops import guided_step_flops
+
+    flops = timesteps * guided_step_flops(batch, max_nodes, 192, 9, 196, 12)
+    peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 394e12))
+    mfu = flops / secs / peak
+    mfu_txt = (
+        f" flops>={flops:.3e} ({flops/secs/1e12:.1f} TFLOP/s, "
+        f"MFU>={mfu:.1%} of {peak/1e12:.0f}T bf16 peak)"
+    )
     print(
         json.dumps(
             {

@@ -91,18 +91,14 @@ def cmd_sweep(args):
             "bench": "guided_sweep", "batch": batch, "T": args.T,
             "secs": round(secs, 3), "mol_per_s": round(batch / secs, 2),
         }
-        try:
-            ca = compiled.cost_analysis()
-            if isinstance(ca, list):
-                ca = ca[0]
-            flops = float(ca.get("flops", 0.0))
-            byts = float(ca.get("bytes accessed", 0.0))
-            peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 394e12))
-            rec["tflops_per_s"] = round(flops / secs / 1e12, 2)
-            rec["mfu"] = round(flops / secs / peak, 4)
-            rec["hbm_gb_per_s"] = round(byts / secs / 1e9, 1)
-        except Exception:
-            pass
+        # analytic matmul-floor FLOPs (utils/flops.py): XLA cost_analysis
+        # counts the scan body once, ~T-fold under the true count
+        from gaudi_tpu.utils.flops import guided_step_flops
+
+        flops = args.T * guided_step_flops(batch, 11, 192, 9, 196, 12)
+        peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 394e12))
+        rec["tflops_per_s"] = round(flops / secs / 1e12, 2)
+        rec["mfu_floor"] = round(flops / secs / peak, 4)
         print(json.dumps(rec), flush=True)
         out.write(json.dumps(rec) + "\n")
         out.flush()

@@ -135,3 +135,32 @@ class TestCoord2Diff:
         np.testing.assert_allclose(
             np.asarray(diff[0, 0, 1]), np.array([-3, -4, 0]) / (5 + 1), atol=1e-5
         )
+
+
+class TestFlopsModel:
+    def test_analytic_floor_tracks_xla_single_forward(self):
+        """utils/flops.py must be a floor within ~2x of XLA's own count on
+        an un-scanned forward (the scan-body undercount it exists to fix
+        does not apply here)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gaudi_tpu.core import masked as M
+        from gaudi_tpu.models.egnn import EGNNDynamics
+        from gaudi_tpu.utils.flops import egnn_forward_flops
+
+        B, N, H, L, K = 8, 11, 64, 3, 1
+        dyn = EGNNDynamics(in_node_nf=K, hidden_nf=H, n_layers=L)
+        nm, em = M.build_masks(jnp.full((B,), 10, jnp.int32), N)
+        z = M.sample_combined_noise(jax.random.PRNGKey(0), B, N, 3, K, nm)
+        params = dyn.init(jax.random.PRNGKey(0), jnp.zeros((B, 1)), z, nm, em)
+        f = jax.jit(lambda p, zz: dyn.apply(p, jnp.zeros((B, 1)), zz, nm, em))
+        ca = f.lower(params, z).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        xla = float(ca.get("flops", 0.0))
+        if xla <= 0:
+            import pytest
+            pytest.skip("backend reports no flops")
+        ana = egnn_forward_flops(N, H, L, B)
+        assert 0.5 * xla <= ana <= 1.05 * xla
