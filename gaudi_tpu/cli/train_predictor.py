@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--restore", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true")
+    p.add_argument("--loss", default="l1", choices=["l1", "bce"],
+                   help="l1 = reference regression; bce = binary "
+                        "classification head (validity classifiers)")
     p.add_argument("--dtype", default="float32",
                    help="network compute dtype (bfloat16 for TPU production)")
     return p
@@ -61,6 +64,7 @@ def main(argv=None):
         n_layers=args.n_layers,
         nf=args.nf,
         restore=args.restore,
+        loss=args.loss,
         seed=args.seed,
         dtype=args.dtype,
     )

@@ -139,6 +139,11 @@ class PredictorConfig:
     save_dir: str = "prediction_summary"
     seed: int = 0
     dtype: str = "float32"
+    # "l1" reproduces the reference (train_cond_predictor.py:64-81);
+    # "bce" treats the (single or multi) target as binary labels and trains
+    # sigmoid-BCE on the head as logits — for validity classifiers trained
+    # on labeled synthetic data (guidance then ascends the logit).
+    loss: str = "l1"
 
     @property
     def exp_dir(self) -> str:

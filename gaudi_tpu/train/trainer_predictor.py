@@ -102,6 +102,11 @@ class PredictorTrainer:
 
         self._orientation = cfg.dataset == "hetro"
         self._max_nodes = cfg.max_nodes
+        # bce mode: y arrives normalized; the decision midpoint 0.5 maps to
+        # (0.5 - mean) / std per target (config.py PredictorConfig.loss)
+        self._y_mid = jnp.asarray(
+            (0.5 - self.train_ds.mean) / self.train_ds.std
+        ) if getattr(cfg, "loss", "l1") == "bce" else None
 
         if mesh is not None:
             bs = batch_sharding(mesh)
@@ -149,9 +154,15 @@ class PredictorTrainer:
         t = t_int / self.T
         z_t = self._noised_input(k_eps, x, h, node_mask, t)
         pred = self.model.apply(params, z_t, node_mask, edge_mask, t)
-        l1 = jnp.abs(pred - y).mean(axis=-1)
+        if self._y_mid is not None:
+            # sigmoid BCE with pred as logits: softplus(x) - x*label
+            label = (y > self._y_mid).astype(pred.dtype)
+            per = jax.nn.softplus(pred) - pred * label
+            loss_vec = per.mean(axis=-1)
+        else:
+            loss_vec = jnp.abs(pred - y).mean(axis=-1)
         wsum = jnp.maximum(weight.sum(), 1.0)
-        return (l1 * weight).sum() / wsum
+        return (loss_vec * weight).sum() / wsum
 
     def _step_impl(self, state, x, h, n_nodes, y, weight, key):
         loss, grads = jax.value_and_grad(self._loss_impl)(

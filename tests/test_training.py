@@ -314,3 +314,35 @@ class TestEMA:
         tr = EDMTrainer(cfg)
         assert tr.state.ema_params is None
         assert tr.sampling_params is tr.state.params
+
+
+class TestBCEPredictor:
+    def test_bce_mode_trains_and_binarizes_at_midpoint(self, tmp_path):
+        """PredictorConfig.loss='bce': logits head, labels recovered from
+        normalized targets at the (0.5-mean)/std midpoint."""
+        import jax.numpy as jnp
+
+        from gaudi_tpu.data.synthetic import generate_dataset
+        from gaudi_tpu.train.trainer_predictor import PredictorTrainer
+
+        csv = generate_dataset(str(tmp_path), "peri", n_molecules=24,
+                               max_rings=7, seed=1, labeled=True,
+                               roundtrip_trials=1)
+        cfg = PredictorConfig(
+            dataset="peri", csv_file=csv, xyz_root=str(tmp_path) + "/peri-xyz",
+            max_nodes=7, target_features="VALID", n_layers=1, nf=16,
+            batch_size=8, num_epochs=2, save_dir=str(tmp_path) + "/ps",
+            name="bce", loss="bce",
+        )
+        tr = PredictorTrainer(cfg)
+        want_mid = (0.5 - tr.train_ds.mean) / tr.train_ds.std
+        np.testing.assert_allclose(np.asarray(tr._y_mid), want_mid, rtol=1e-6)
+        # normalized labels binarize back to the raw 0/1 column
+        y = jnp.asarray(tr.train_ds.collate(np.arange(8))["y"])
+        raw = (np.asarray(y) * tr.train_ds.std + tr.train_ds.mean).round()
+        assert set(np.unique((np.asarray(y) > np.asarray(tr._y_mid)))) <= {True, False}
+        np.testing.assert_array_equal(
+            (np.asarray(y) > np.asarray(tr._y_mid)).astype(float), raw
+        )
+        loss = tr.train_epoch(np.random.default_rng(0), jax.random.PRNGKey(0))
+        assert np.isfinite(loss)
