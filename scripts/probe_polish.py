@@ -19,12 +19,15 @@ def main():
     ap.add_argument("--decay", type=float, default=0.6)
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--guide", default="")
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--n-steps", type=int, default=0,
+                    help="strided sampler steps (0 = full T)")
     ap.add_argument("--guide-scale", type=float, nargs="+", default=[0.0])
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
     from gaudi_tpu.cli.common import load_edm_from_dir, setup_platform
-    setup_platform()
+    setup_platform(args.platform)
     import jax
 
     from gaudi_tpu.eval_chem.stability import analyze_validity_for_molecules
@@ -40,6 +43,7 @@ def main():
         t0 = time.time()
         x, h, nm, _ = sampler.sample(
             trainer.sampling_params, jax.random.PRNGKey(5), counts, args.std,
+            n_steps=args.n_steps or None,
             polish=polish, polish_t=pt, polish_noise=pn, polish_steps=args.steps,
             polish_decay=args.decay,
             polish_guide=args.guide if gs else "", polish_guide_scale=gs,
