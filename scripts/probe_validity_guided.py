@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--polish", type=int, default=0)
     ap.add_argument("--polish-t", type=float, default=0.05)
     ap.add_argument("--noise", type=float, default=0.3)
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--n-steps", type=int, default=0)
     args = ap.parse_args()
 
     from gaudi_tpu.cli.common import (
@@ -31,7 +33,7 @@ def main():
         load_predictor_from_dir,
         setup_platform,
     )
-    setup_platform()
+    setup_platform(args.platform)
     import jax
 
     from gaudi_tpu.cli.generate import make_target_function
@@ -58,7 +60,7 @@ def main():
         key = jax.random.PRNGKey(5)
         x, h, nm, em = sampler.sample_guidance(
             trainer.sampling_params, key, target_fn, counts,
-            scale=scale, std=args.std,
+            scale=scale, std=args.std, n_steps=args.n_steps or None,
         )
         if args.polish:
             import functools
