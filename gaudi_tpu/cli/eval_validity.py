@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="target spec for --guide-predictor-dir "
                         "(generate.py syntax)")
     p.add_argument("--guide-scale", type=float, default=1.0)
+    p.add_argument("--guide-t-window", type=float, default=0.0,
+                   help="apply classifier guidance only below this t "
+                        "fraction (diffusion/priors.py t_windowed)")
     p.add_argument("--tol", type=float, default=0.1)
     p.add_argument("--novelty", action="store_true")
     p.add_argument("--plots", type=int, default=5, help="save N stable/unstable plots")
@@ -155,6 +158,10 @@ def main(argv=None):
             PropertyDistribution(pred_trainer.train_ds),
             pred_cfg.data_config().targets,
         )
+        if args.guide_t_window:
+            from gaudi_tpu.diffusion.priors import t_windowed
+
+            target_fn = t_windowed(target_fn, args.guide_t_window)
     mesh = None
     if args.dp:
         import jax as _jax

@@ -53,3 +53,22 @@ def get_prior(name: str):
         raise ValueError(
             f"unknown prior {name!r}; available: {sorted(PRIORS)}"
         ) from None
+
+
+def t_windowed(fn, t_max: float):
+    """Restrict a guidance target to t < t_max (fraction of the schedule).
+
+    Classifier guidance is only as good as the classifier at the current
+    noise level; a head that discriminates sharply at t=0 can emit
+    destructive gradients at high t (measured: hetro validity classifier,
+    AUC 0.996 at t=0, collapses connectivity when applied unwindowed).
+    Zeroing the energy outside the window zeroes its gradient there, so
+    the reverse process is the plain sampler until t drops into the
+    window. Works with any fn(z, node_mask, edge_mask, t) -> [B].
+    """
+
+    def wrapped(z, node_mask, edge_mask, t):
+        w = (t[:, 0] < t_max).astype(z.dtype)
+        return w * fn(z, node_mask, edge_mask, t)
+
+    return wrapped

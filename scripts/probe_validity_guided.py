@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--noise", type=float, default=0.3)
     ap.add_argument("--platform", default="")
     ap.add_argument("--n-steps", type=int, default=0)
+    ap.add_argument("--t-window", type=float, default=0.0,
+                    help="apply guidance only below this t fraction")
     args = ap.parse_args()
 
     from gaudi_tpu.cli.common import (
@@ -50,6 +52,10 @@ def main():
         "max:VALID", pred_trainer.model, pred_trainer.state.params,
         prop_dist, features,
     )
+    if args.t_window:
+        from gaudi_tpu.diffusion.priors import t_windowed
+
+        target_fn = t_windowed(target_fn, args.t_window)
 
     sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
     rng = np.random.default_rng(3)

@@ -272,3 +272,21 @@ class TestPlanarityPrior:
 
         with _pytest.raises(ValueError, match="unknown prior"):
             get_prior("nope")
+
+    def test_t_windowed_zeroes_energy_and_grad_outside_window(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gaudi_tpu.diffusion.priors import planarity_energy, t_windowed
+
+        fn = t_windowed(planarity_energy, 0.3)
+        nm = jnp.ones((1, 6, 1))
+        x = jnp.asarray(self._cloud(0.8))
+        hi = jnp.full((1, 1), 0.9)
+        lo = jnp.full((1, 1), 0.1)
+        assert float(fn(x, nm, None, hi)[0]) == 0.0
+        assert float(fn(x, nm, None, lo)[0]) > 0.0
+        g_hi = jax.grad(lambda z: fn(z, nm, None, hi).sum())(x)
+        g_lo = jax.grad(lambda z: fn(z, nm, None, lo).sum())(x)
+        assert float(jnp.abs(g_hi).max()) == 0.0
+        assert float(jnp.abs(g_lo).max()) > 0.0
