@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guide-t-window", type=float, default=0.0,
                    help="apply classifier guidance only below this t "
                         "fraction (diffusion/priors.py t_windowed)")
+    p.add_argument("--guide-prob", action="store_true",
+                   help="guide on sigmoid of the head (gradient self-damps "
+                        "where the classifier is confident; for BCE-trained "
+                        "validity classifiers)")
     p.add_argument("--tol", type=float, default=0.1)
     p.add_argument("--novelty", action="store_true")
     p.add_argument("--plots", type=int, default=5, help="save N stable/unstable plots")
@@ -158,6 +162,16 @@ def main(argv=None):
             PropertyDistribution(pred_trainer.train_ds),
             pred_cfg.data_config().targets,
         )
+        if args.guide_prob:
+            import jax.nn as _nn
+
+            base_fn = target_fn
+
+            def target_fn(z, nm, em, t):
+                # make_target_function("max:F") returns -F (minimized);
+                # -sigmoid(-(-logit)) keeps "maximize p" semantics
+                return -_nn.sigmoid(-base_fn(z, nm, em, t))
+
         if args.guide_t_window:
             from gaudi_tpu.diffusion.priors import t_windowed
 

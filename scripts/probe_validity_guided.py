@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--n-steps", type=int, default=0)
     ap.add_argument("--t-window", type=float, default=0.0,
                     help="apply guidance only below this t fraction")
+    ap.add_argument("--prob", action="store_true",
+                    help="guide on sigmoid(logit) instead of the raw head "
+                         "(gradient self-damps where the classifier is "
+                         "confident)")
     args = ap.parse_args()
 
     from gaudi_tpu.cli.common import (
@@ -52,6 +56,16 @@ def main():
         "max:VALID", pred_trainer.model, pred_trainer.state.params,
         prop_dist, features,
     )
+    if args.prob:
+        import jax.nn as _nn
+
+        base_fn = target_fn
+
+        def target_fn(z, nm, em, t):
+            return -_nn.sigmoid(-base_fn(z, nm, em, t))
+        # note: make_target_function("max:F") returns -F (minimized), so
+        # -sigmoid(-(-logit)) keeps "maximize p(valid)" semantics
+
     if args.t_window:
         from gaudi_tpu.diffusion.priors import t_windowed
 
