@@ -47,12 +47,20 @@ timeout 3600 python -m gaudi_tpu.cli.eval_validity \
   > runs/r2lt/eval_faststack.log 2>&1
 echo "fast-path eval done $(date)" >> $LOG
 
-# 3. hetro validity-classifier guidance probe
-timeout 3600 python scripts/probe_validity_guided.py \
-  --edm-dir runs/r2h/summary/longrun-edm \
-  --predictor-dir runs/vclf_hetro/psummary/vclf-bce \
-  --n 256 --std 0.5 --scale 0 0.3 1.0 --polish 3 > /tmp/probe_hguided.log 2>&1
-echo "hetro guided probe done $(date)" >> $LOG
+# 3. hetro finals: probability-space windowed classifier guidance
+#    (probed recipe: +8pp validity at scale 1, t<0.25, sigmoid space)
+timeout 3600 python -m gaudi_tpu.cli.eval_validity \
+  --exp-dir runs/r2h/summary/longrun-edm --n-samples 512 --batch-size 512 \
+  --std 0.5 --guide-predictor-dir runs/vclf_hetro/psummary/vclf-bce \
+  --guide-target max:VALID --guide-scale 1.0 --guide-t-window 0.25 \
+  --guide-prob > runs/r2h/eval_guided.log 2>&1
+timeout 3600 python -m gaudi_tpu.cli.eval_validity \
+  --exp-dir runs/r2h/summary/longrun-edm --n-samples 512 --batch-size 512 \
+  --std 0.5 --guide-predictor-dir runs/vclf_hetro/psummary/vclf-bce \
+  --guide-target max:VALID --guide-scale 1.0 --guide-t-window 0.25 \
+  --guide-prob --polish 3 --polish-t 0.05 --polish-noise 0.3 \
+  > runs/r2h/eval_guided_polish.log 2>&1
+echo "hetro guided finals done $(date)" >> $LOG
 
 # 4. peri extension + finals
 timeout 4200 python scripts/longrun_tpu.py --root runs/r2p --dataset peri \
