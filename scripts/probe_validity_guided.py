@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--noise", type=float, default=0.3)
     ap.add_argument("--platform", default="")
     ap.add_argument("--n-steps", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--t-window", type=float, default=0.0,
                     help="apply guidance only below this t fraction")
     ap.add_argument("--prob", action="store_true",
@@ -77,7 +78,7 @@ def main():
 
     for scale in args.scale:
         t0 = time.time()
-        key = jax.random.PRNGKey(5)
+        key = jax.random.PRNGKey(args.seed)
         x, h, nm, em = sampler.sample_guidance(
             trainer.sampling_params, key, target_fn, counts,
             scale=scale, std=args.std, n_steps=args.n_steps or None,
