@@ -79,6 +79,26 @@ class TestCLI:
         )
         assert 0.0 <= out["stability"]["mol_stable"] <= 1.0
 
+    def test_eval_validity_rejection(self, trained):
+        # production rejection-resampling: final set is the requested size,
+        # post-rejection failure count never exceeds the first pass's, and
+        # the raw first-pass metrics are preserved alongside
+        out = eval_validity.main(
+            ["--exp-dir", f"{trained}/summary/edm", "--n-samples", "8",
+             "--batch-size", "8", "--plots", "0", "--reject", "2",
+             "--reject-criterion", "valid"]
+        )
+        assert out["rejection"]["total_sampled"] >= 8
+        assert out["rejection"]["oversampling_factor"] >= 1.0
+        assert 0.0 <= out["first_pass"]["chemistry"]["mol_valid"] <= 1.0
+        n_final = len(out["chemistry"]["molecule_valid_bool"])
+        assert n_final == 8
+        first_bad = sum(
+            not v for v in out["first_pass"]["chemistry"]["molecule_valid_bool"]
+        )
+        final_bad = sum(not v for v in out["chemistry"]["molecule_valid_bool"])
+        assert final_bad <= first_bad
+
     def test_eval_predictor(self, trained):
         out = eval_predictor.main(
             ["--exp-dir", f"{trained}/psummary/pred", "--n-levels", "3"]
