@@ -105,8 +105,8 @@ def _patch_to_molecule(
 ):
     """Hexagon cells -> atoms (C skeleton + rim H), optional substitutions.
 
-    hetero_plan: optional {cell_index: (ring_type, positions)} where positions
-    are vertex slots (0..5) to substitute and ring_type picks the element.
+    hetero_plan: optional {cell_index: (ring_type_name, element, positions)}
+    where positions are vertex slots (0..5) to substitute with the element.
     """
     # Unique vertices: each hexagon's 6 vertices at angles 30 + 60k.
     verts = {}
@@ -130,7 +130,7 @@ def _patch_to_molecule(
     elements = ["C"] * n
 
     if hetero_plan:
-        for ci, (elem, slots) in hetero_plan.items():
+        for ci, (_, elem, slots) in hetero_plan.items():
             for s in slots:
                 elements[cell_vertices[ci][s]] = elem
 
@@ -261,7 +261,7 @@ def _plan_hetero(cells, rng: np.random.Generator, hetero_prob: float):
         options = []
         for tname, elem, count in _HETERO_CHOICES:
             if count == 1 and free:
-                options.append((elem, (int(rng.choice(free)),)))
+                options.append((tname, elem, (int(rng.choice(free)),)))
             elif count == 2:
                 pairs = [
                     (s, (s + 3) % 6)
@@ -269,7 +269,9 @@ def _plan_hetero(cells, rng: np.random.Generator, hetero_prob: float):
                     if s in free and (s + 3) % 6 in free and s < (s + 3) % 6
                 ]
                 if pairs:
-                    options.append((elem, pairs[int(rng.integers(len(pairs)))]))
+                    options.append(
+                        (tname, elem, pairs[int(rng.integers(len(pairs)))])
+                    )
         if options:
             plan[ci] = options[int(rng.integers(len(options)))]
     return plan
@@ -338,7 +340,7 @@ def _roundtrip_valid(centers, type_idx, hetero_plan, cell_vertices,
     n = len(type_idx)
     if dataset == "hetro":
         ori = centers.copy()
-        for ci, (elem, slots) in (hetero_plan or {}).items():
+        for ci, (_, _, slots) in (hetero_plan or {}).items():
             ori[ci] = coords[cell_vertices[ci][slots[0]]]
         xi = np.concatenate([centers, ori], axis=0)
         ti = np.concatenate(
@@ -492,9 +494,8 @@ def generate_dataset(
 
         names = RINGS_LIST[dataset]
         type_names = ["Bn"] * len(cells)
-        for ci, (elem, slots) in (hetero_plan or {}).items():
-            type_names[ci] = {("N", 1): "Pd", ("N", 2): "Pz",
-                              ("B", 1): "Bz"}[(elem, len(slots))]
+        for ci, (tname, _, _) in (hetero_plan or {}).items():
+            type_names[ci] = tname
         type_idx = np.array([names.index(t) for t in type_names])
         cv_idx = [np.array(cv) for cv in cell_vertices]
         from gaudi_tpu.data.mol import connectivity_matrix

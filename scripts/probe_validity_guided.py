@@ -76,6 +76,18 @@ def main():
     rng = np.random.default_rng(3)
     counts = trainer.nodes_dist.sample(args.n, rng)
 
+    polish_jit = None
+    if args.polish:
+        # jit once outside the scale loop (masks passed as arguments) so
+        # every scale reuses the same compiled polish program
+        @jax.jit
+        def polish_jit(params, key, x, h, nm, em):
+            return trainer.edm.polish(
+                params, key, x, h, nm, em,
+                t_start=args.polish_t, rounds=args.polish,
+                noise_scale=args.noise,
+            )
+
     for scale in args.scale:
         t0 = time.time()
         key = jax.random.PRNGKey(args.seed)
@@ -83,21 +95,9 @@ def main():
             trainer.sampling_params, key, target_fn, counts,
             scale=scale, std=args.std, n_steps=args.n_steps or None,
         )
-        if args.polish:
-            import functools
-
-            @functools.cache
-            def polish_fn():
-                def f(params, key, x, h):
-                    return trainer.edm.polish(
-                        params, key, x, h, nm, em,
-                        t_start=args.polish_t, rounds=args.polish,
-                        noise_scale=args.noise,
-                    )
-                return jax.jit(f)
-
-            x, h = polish_fn()(
-                trainer.sampling_params, jax.random.PRNGKey(11), x, h
+        if polish_jit is not None:
+            x, h = polish_jit(
+                trainer.sampling_params, jax.random.PRNGKey(11), x, h, nm, em
             )
         jax.block_until_ready(x)
         secs = time.time() - t0

@@ -88,7 +88,7 @@ class TestCLI:
              "--batch-size", "8", "--plots", "0", "--reject", "2",
              "--reject-criterion", "valid"]
         )
-        assert out["rejection"]["total_sampled"] >= 8
+        assert out["rejection"]["device_sampled"] >= 8
         assert out["rejection"]["oversampling_factor"] >= 1.0
         assert 0.0 <= out["first_pass"]["chemistry"]["mol_valid"] <= 1.0
         n_final = len(out["chemistry"]["molecule_valid_bool"])

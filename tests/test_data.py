@@ -70,7 +70,7 @@ class TestExtraction:
 
     def test_hetero_orientation_atoms(self):
         # single pyridine-like ring: N at slot 0 -> orientation = N coords
-        mol = _patch_to_molecule([(0, 0)], {0: ("N", (0,))})
+        mol = _patch_to_molecule([(0, 0)], {0: ("Pd", "N", (0,))})
         rg = extract_ring_graph(mol, "hetro")
         assert rg.n_rings == 1
         assert RINGS_LIST["hetro"][rg.ring_types[0]] == "Pd"
