@@ -45,6 +45,17 @@ import jax.numpy as jnp
 
 from gaudi_tpu.core.masked import remove_mean_with_mask
 
+# Logical activation axes for SPMD partitioning (flax linen spmd). These are
+# no-ops unless a `flax.linen.logical_axis_rules` context maps them to mesh
+# axes — gaudi_tpu.parallel.mesh.PARALLELISM_RULES defines the supported
+# mappings (dp: batch only; tp: hidden channels; sp: receiver nodes). The
+# constraints sit on the [B, N, N, H] edge tensors — the memory- and
+# FLOP-dominant intermediates — and on node features after each update; XLA's
+# SPMD partitioner propagates the sharding through the rest of the layer and
+# inserts the collectives.
+EDGE_LOGICAL_AXES = ("batch", "nodes_recv", "nodes_send", "embed")
+NODE_LOGICAL_AXES = ("batch", "nodes", "embed")
+
 
 def coord2diff(
     x: jax.Array, norm_constant: float = 1.0
@@ -145,6 +156,7 @@ class DenseGCL(nn.Module):
     ) -> jax.Array:
         # Edge model (reference egnn_new.py:42-57).
         mij = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_attr)
+        mij = nn.with_logical_constraint(mij, EDGE_LOGICAL_AXES)
         mij = nn.silu(mij)
         mij = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge_out")(mij)
         mij = nn.silu(mij)
@@ -173,7 +185,7 @@ class DenseGCL(nn.Module):
         upd = nn.silu(upd)
         upd = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="node_out")(upd)
         h = h + upd
-        return h * node_mask
+        return nn.with_logical_constraint(h * node_mask, NODE_LOGICAL_AXES)
 
 
 # torch.nn.Linear's default init (kaiming_uniform(a=sqrt(5))) has variance
@@ -226,6 +238,7 @@ class DenseEquivariantUpdate(nn.Module):
         edge_mask: jax.Array,
     ) -> jax.Array:
         m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="coord_in")(h, edge_attr)
+        m = nn.with_logical_constraint(m, EDGE_LOGICAL_AXES)
         m = nn.silu(m)
         m = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="coord_mid")(m)
         m = nn.silu(m)

@@ -27,7 +27,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gaudi_tpu.models.egnn import TORCH_LINEAR_INIT, EdgeMLPIn, _small_init, coord2diff
+from gaudi_tpu.models.egnn import (
+    EDGE_LOGICAL_AXES,
+    TORCH_LINEAR_INIT,
+    EdgeMLPIn,
+    _small_init,
+    coord2diff,
+)
 
 
 class PredictorEGCL(nn.Module):
@@ -54,6 +60,7 @@ class PredictorEGCL(nn.Module):
 
         # Edge model (gcl.py:225-238).
         m = EdgeMLPIn(self.hidden_nf, dtype=self.dtype, name="edge_in")(h, edge_in)
+        m = nn.with_logical_constraint(m, EDGE_LOGICAL_AXES)
         m = nn.silu(m)
         m = nn.Dense(self.hidden_nf, kernel_init=TORCH_LINEAR_INIT, dtype=self.dtype, name="edge_out")(m)
         m = nn.silu(m)

@@ -52,11 +52,16 @@ class Sampler:
     sampling is embarrassingly parallel (SURVEY.md §2.5).
     """
 
-    def __init__(self, edm: EDM, max_nodes: int, orientation: bool = False, mesh=None):
+    def __init__(self, edm: EDM, max_nodes: int, orientation: bool = False,
+                 mesh=None, mp_mode=None):
+        """mp_mode: optional PARALLELISM_RULES key ("tp"/"sp") activating the
+        model axis of a 2-D mesh inside the reverse scan (see parallel/mesh.py);
+        None = batch-sharded DP only."""
         self.edm = edm
         self.max_nodes = max_nodes
         self.orientation = orientation
         self.mesh = mesh
+        self.mp_mode = mp_mode
 
     def _shardings(self):
         if self.mesh is None:
@@ -97,7 +102,11 @@ class Sampler:
                 )
             return x, h, node_mask, edge_mask
 
-        return jax.jit(fn, **self._shardings())
+        from gaudi_tpu.parallel.mesh import call_with_rules
+
+        return call_with_rules(
+            jax.jit(fn, **self._shardings()), self.mesh, self.mp_mode
+        )
 
     @lru_cache(maxsize=8)
     def _jit_chain(self, std: float, keep_frames: int, n_steps=None):
@@ -181,7 +190,9 @@ class Sampler:
             rep = replicated_sharding(self.mesh)
             bs = batch_sharding(self.mesh)
             sh = {"in_shardings": (rep, rep, bs, rep), "out_shardings": (bs, bs, bs, bs)}
-        jitted = jax.jit(fn, **sh)
+        from gaudi_tpu.parallel.mesh import call_with_rules
+
+        jitted = call_with_rules(jax.jit(fn, **sh), self.mesh, self.mp_mode)
         cached[key] = jitted
         return jitted
 

@@ -28,7 +28,11 @@ from gaudi_tpu.data import NodesDistribution, PropertyDistribution, create_datas
 from gaudi_tpu.diffusion.edm import EDM
 from gaudi_tpu.diffusion.schedule import NoiseSchedule
 from gaudi_tpu.models.egnn import EGNNDynamics
-from gaudi_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from gaudi_tpu.parallel.mesh import (
+    batch_sharding,
+    call_with_rules,
+    replicated_sharding,
+)
 from gaudi_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from gaudi_tpu.train.logging import MetricsLogger
 from gaudi_tpu.train.optim import last_grad_norm, make_optimizer
@@ -71,9 +75,13 @@ class EDMTrainer:
     """See module docstring. `sampling_params` returns EMA weights when
     EMA is enabled, else the live weights — use it for all sampling."""
 
-    def __init__(self, cfg: EDMConfig, datasets=None, mesh=None):
+    def __init__(self, cfg: EDMConfig, datasets=None, mesh=None, mp_mode=None):
+        """mp_mode: optional PARALLELISM_RULES key ("tp"/"sp") activating the
+        model-parallel axis of a 2-D ("data", "model") mesh; None = pure DP
+        (the production configuration for these model sizes)."""
         self.cfg = cfg
         self.mesh = mesh
+        self.mp_mode = mp_mode
         if datasets is None:
             datasets = create_datasets(cfg.data_config())
         self.train_ds, self.val_ds, self.test_ds = datasets
@@ -106,15 +114,23 @@ class EDMTrainer:
         if mesh is not None:
             bs = batch_sharding(mesh)
             rep = replicated_sharding(mesh)
-            self._train_step = jax.jit(
-                self._step_impl,
-                static_argnames=("train",),
-                donate_argnums=(0,),
-                in_shardings=(rep, bs, bs, bs, bs, rep),
-                out_shardings=(rep, rep),
+            self._train_step = call_with_rules(
+                jax.jit(
+                    self._step_impl,
+                    static_argnames=("train",),
+                    donate_argnums=(0,),
+                    in_shardings=(rep, bs, bs, bs, bs, rep),
+                    out_shardings=(rep, rep),
+                ),
+                mesh,
+                mp_mode,
             )
-            self._val_step = jax.jit(
-                self._eval_impl, in_shardings=(rep, bs, bs, bs, bs, rep)
+            self._val_step = call_with_rules(
+                jax.jit(
+                    self._eval_impl, in_shardings=(rep, bs, bs, bs, bs, rep)
+                ),
+                mesh,
+                mp_mode,
             )
         else:
             self._train_step = jax.jit(

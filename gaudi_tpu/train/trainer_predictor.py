@@ -24,7 +24,11 @@ from gaudi_tpu.core import masked as M
 from gaudi_tpu.diffusion.edm import EDM
 from gaudi_tpu.diffusion.schedule import NoiseSchedule
 from gaudi_tpu.models.predictor import EGNNPredictor
-from gaudi_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from gaudi_tpu.parallel.mesh import (
+    batch_sharding,
+    call_with_rules,
+    replicated_sharding,
+)
 from gaudi_tpu.data import create_datasets
 from gaudi_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from gaudi_tpu.train.logging import MetricsLogger
@@ -60,9 +64,13 @@ class PredictorTrainer:
         edm_cfg: Optional[EDMConfig] = None,
         datasets=None,
         mesh=None,
+        mp_mode=None,
     ):
+        """mp_mode: optional PARALLELISM_RULES key ("tp"/"sp") — see
+        EDMTrainer; None = pure DP."""
         self.cfg = cfg
         self.mesh = mesh
+        self.mp_mode = mp_mode
         if datasets is None:
             datasets = create_datasets(cfg.data_config())
         self.train_ds, self.val_ds, self.test_ds = datasets
@@ -111,16 +119,24 @@ class PredictorTrainer:
         if mesh is not None:
             bs = batch_sharding(mesh)
             rep = replicated_sharding(mesh)
-            self._train_step = jax.jit(
-                self._step_impl,
-                donate_argnums=(0,),
-                in_shardings=(rep, bs, bs, bs, bs, bs, rep),
-                out_shardings=(rep, rep),
+            self._train_step = call_with_rules(
+                jax.jit(
+                    self._step_impl,
+                    donate_argnums=(0,),
+                    in_shardings=(rep, bs, bs, bs, bs, bs, rep),
+                    out_shardings=(rep, rep),
+                ),
+                mesh,
+                mp_mode,
             )
-            self._val_step = jax.jit(
-                self._eval_impl,
-                static_argnames=("t_fix",),
-                in_shardings=(rep, bs, bs, bs, bs, bs, rep),
+            self._val_step = call_with_rules(
+                jax.jit(
+                    self._eval_impl,
+                    static_argnames=("t_fix",),
+                    in_shardings=(rep, bs, bs, bs, bs, bs, rep),
+                ),
+                mesh,
+                mp_mode,
             )
         else:
             self._train_step = jax.jit(self._step_impl, donate_argnums=(0,))
