@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guide-t-window", type=float, default=0.0,
                    help="apply classifier guidance only below this t "
                         "fraction (diffusion/priors.py t_windowed)")
+    p.add_argument("--cfg-weight", type=float, default=0.0,
+                   help="classifier-free guidance weight for a model trained "
+                        "with --context-features (0 = plain conditional "
+                        "sampling; contexts drawn from the train-set "
+                        "property histograms)")
     p.add_argument("--guide-prob", action="store_true",
                    help="guide on sigmoid of the head (gradient self-damps "
                         "where the classifier is confident; for BCE-trained "
@@ -83,7 +88,7 @@ def make_drawer(
     trainer, batch_size, std, mesh=None, n_steps=None,
     polish=0, polish_t=0.08, polish_noise=1.0, polish_decay=0.6,
     polish_guide="", polish_guide_scale=0.0,
-    target_fn=None, guide_scale=0.0,
+    target_fn=None, guide_scale=0.0, cfg_weight=0.0,
 ):
     """Build a reusable ``draw(n, seed) -> (molecules, seconds)`` closure.
 
@@ -104,6 +109,15 @@ def make_drawer(
     sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro", mesh=mesh)
 
     guided = target_fn is not None and guide_scale
+    # Conditional model (EDMConfig.context_features): contexts are drawn from
+    # the per-node-count property histograms; cfg_weight applies
+    # classifier-free guidance (diffusion/cfg.py).
+    conditional = getattr(trainer, "_ctx_idx", None) is not None
+    if conditional and guided:
+        raise ValueError(
+            "classifier guidance through a conditional EDM is not wired; "
+            "use --cfg-weight (classifier-free) instead"
+        )
     polish_fn = None
     if guided and polish:
         pg_fn = None
@@ -141,12 +155,17 @@ def make_drawer(
                         trainer.sampling_params, kp, x, h, node_mask, em
                     )
             else:
+                ctx = None
+                if conditional:
+                    y = trainer.prop_dist.sample_batch(counts, rng)
+                    ctx = y[:, trainer._ctx_idx]
                 x, h, node_mask, _ = sampler.sample(
                     trainer.sampling_params, sub, counts, std, n_steps=n_steps,
                     polish=polish, polish_t=polish_t,
                     polish_noise=polish_noise, polish_decay=polish_decay,
                     polish_guide=polish_guide,
                     polish_guide_scale=polish_guide_scale,
+                    context=ctx, cfg_weight=cfg_weight,
                 )
             jax.block_until_ready(x)
             mols += to_molecule_list(
@@ -218,6 +237,7 @@ def main(argv=None):
         polish_guide=args.polish_guide,
         polish_guide_scale=args.polish_guide_scale,
         target_fn=target_fn, guide_scale=args.guide_scale,
+        cfg_weight=args.cfg_weight,
     )
 
     if args.profile:
@@ -330,8 +350,15 @@ def main(argv=None):
         from gaudi_tpu.utils.plotting import plot_chain
 
         sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
+        chain_ctx = None
+        if getattr(trainer, "_ctx_idx", None) is not None:
+            y = trainer.prop_dist.sample_batch(
+                np.asarray([10]), np.random.default_rng(args.seed + 1)
+            )
+            chain_ctx = y[:, trainer._ctx_idx]
         chain = sampler.sample_chain(
-            trainer.sampling_params, jax.random.PRNGKey(args.seed + 1), std=args.std
+            trainer.sampling_params, jax.random.PRNGKey(args.seed + 1),
+            std=args.std, context=chain_ctx,
         )
         plot_chain(np.asarray(chain), f"{args.exp_dir}/eval/chain.gif", cfg.dataset)
 

@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "U[0, t_bias_cap*T] (low-t fine-tune; 0 = uniform t)")
     p.add_argument("--t-bias-cap", type=float, default=0.1,
                    help="upper edge (fraction of T) of the biased t range")
+    p.add_argument("--context-features", default="",
+                   help="comma-separated target columns to condition the "
+                        "EDM on (trains a conditional model ready for "
+                        "classifier-free guidance; must be a subset of "
+                        "--target-features)")
+    p.add_argument("--context-dropout", type=float, default=0.1,
+                   help="per-sample probability of dropping the context to "
+                        "the CFG null token during training")
     return p
 
 
@@ -74,6 +82,8 @@ def main(argv=None):
         ema_decay=args.ema,
         t_bias_frac=args.t_bias_frac,
         t_bias_cap=args.t_bias_cap,
+        context_features=args.context_features,
+        context_dropout=args.context_dropout,
     )
 
     mesh = None

@@ -76,6 +76,15 @@ class EDMConfig:
     # loss (en_diffusion.py:702-705) exactly.
     t_bias_frac: float = 0.0
     t_bias_cap: float = 0.1
+    # Conditional EDM / classifier-free guidance (beyond reference: the
+    # reference's context plumbing exists in its EGNN_dynamics but no live
+    # config conditions the diffusion model — SURVEY §2.6). Comma-separated
+    # subset of target_features to condition on; the trainer appends an
+    # is-conditioned indicator channel and drops the whole context to the
+    # null token (zeros) with probability context_dropout per sample, which
+    # is what makes CFG sampling (diffusion/cfg.py with_cfg) well-posed.
+    context_features: str = ""
+    context_dropout: float = 0.1
 
     @property
     def exp_dir(self) -> str:

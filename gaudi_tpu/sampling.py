@@ -63,60 +63,86 @@ class Sampler:
         self.mesh = mesh
         self.mp_mode = mp_mode
 
-    def _shardings(self):
+    def _shardings(self, has_context: bool = False):
         if self.mesh is None:
             return {}
         from gaudi_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
         rep = replicated_sharding(self.mesh)
         bs = batch_sharding(self.mesh)
-        return {"in_shardings": (rep, rep, bs), "out_shardings": (bs, bs, bs, bs)}
+        ins = (rep, rep, bs) + ((bs,) if has_context else ())
+        return {"in_shardings": ins, "out_shardings": (bs, bs, bs, bs)}
 
     @lru_cache(maxsize=8)
     def _jit_sample(self, std: float, n_steps=None, polish: int = 0,
                     polish_t: float = 0.08, polish_noise: float = 1.0,
                     polish_steps: int = 12, polish_decay: float = 0.6,
-                    polish_guide: str = "", polish_guide_scale: float = 0.0):
+                    polish_guide: str = "", polish_guide_scale: float = 0.0,
+                    has_context: bool = False, cfg_weight: float = 0.0):
         guide_fn = None
         if polish and polish_guide and polish_guide_scale:
             from gaudi_tpu.diffusion.priors import get_prior
 
             guide_fn = get_prior(polish_guide)
 
-        def fn(params, key, n_nodes):
+        # Conditional model / classifier-free guidance: derive the
+        # CFG-combined denoiser once; every reverse path below (plain,
+        # strided, polish) uses it transparently (diffusion/cfg.py).
+        edm = self.edm
+        if has_context and cfg_weight:
+            from gaudi_tpu.diffusion.cfg import with_cfg
+
+            edm = with_cfg(edm, cfg_weight)
+
+        def fn(params, key, n_nodes, y_ctx=None):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
             )
+            context = None
+            if has_context:
+                from gaudi_tpu.diffusion.cfg import build_context
+
+                context = build_context(y_ctx, node_mask)
             # split only when polishing: the plain path must stay
             # key-for-key identical to sample_guidance(scale=0)
             k_s, k_p = (jax.random.split(key) if polish else (key, key))
-            x, h = self.edm.sample(
-                params, k_s, node_mask, edge_mask, std=std, n_steps=n_steps
+            x, h = edm.sample(
+                params, k_s, node_mask, edge_mask, std=std, n_steps=n_steps,
+                context=context,
             )
             if polish:
-                x, h = self.edm.polish(
+                x, h = edm.polish(
                     params, k_p, x, h, node_mask, edge_mask,
                     t_start=polish_t, rounds=polish, noise_scale=polish_noise,
                     n_steps=polish_steps, t_decay=polish_decay,
                     guide_fn=guide_fn, guide_scale=polish_guide_scale,
+                    context=context,
                 )
             return x, h, node_mask, edge_mask
 
         from gaudi_tpu.parallel.mesh import call_with_rules
 
         return call_with_rules(
-            jax.jit(fn, **self._shardings()), self.mesh, self.mp_mode
+            jax.jit(fn, **self._shardings(has_context)),
+            self.mesh,
+            self.mp_mode,
         )
 
     @lru_cache(maxsize=8)
-    def _jit_chain(self, std: float, keep_frames: int, n_steps=None):
-        def fn(params, key, n_nodes):
+    def _jit_chain(self, std: float, keep_frames: int, n_steps=None,
+                   has_context: bool = False):
+        def fn(params, key, n_nodes, y_ctx=None):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
             )
+            context = None
+            if has_context:
+                from gaudi_tpu.diffusion.cfg import build_context
+
+                context = build_context(y_ctx, node_mask)
             return self.edm.sample_chain(
                 params, key, node_mask, edge_mask, keep_frames=keep_frames,
-                std=std, n_steps=n_steps,
+                std=std, n_steps=n_steps, context=context,
             )
 
         return jax.jit(fn)
@@ -124,34 +150,48 @@ class Sampler:
     def sample(self, params, key, nodesxsample, std: float = 0.7, n_steps=None,
                polish: int = 0, polish_t: float = 0.08, polish_noise: float = 1.0,
                polish_steps: int = 12, polish_decay: float = 0.6,
-               polish_guide: str = "", polish_guide_scale: float = 0.0):
-        """Unconditional molecules (reference sample_pos_edm :128-169).
+               polish_guide: str = "", polish_guide_scale: float = 0.0,
+               context=None, cfg_weight: float = 0.0):
+        """Molecules from the (un)conditional model (reference
+        sample_pos_edm :128-169).
 
         nodesxsample: [B] ring counts. Returns (x, h_onehot, node_mask,
         edge_mask) with x CoM-free and masked. n_steps < T opts into the
         strided few-step sampler; polish > 0 appends that many SDEdit
         manifold-projection rounds; polish_guide names a physics prior from
-        diffusion/priors.py applied inside those rounds (all
-        beyond-reference knobs).
+        diffusion/priors.py applied inside those rounds. For a conditional
+        model (EDMConfig.context_features), `context` is the [B, C]
+        normalized conditioning values and cfg_weight > 0 applies
+        classifier-free guidance (diffusion/cfg.py). (All beyond-reference
+        knobs.)
         """
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
-        return self._jit_sample(
+        has_ctx = context is not None
+        fn = self._jit_sample(
             float(std), n_steps, int(polish), float(polish_t),
             float(polish_noise), int(polish_steps), float(polish_decay),
             str(polish_guide), float(polish_guide_scale),
-        )(params, key, n_nodes)
+            has_ctx, float(cfg_weight) if has_ctx else 0.0,
+        )
+        if has_ctx:
+            return fn(params, key, n_nodes, jnp.asarray(context, jnp.float32))
+        return fn(params, key, n_nodes)
 
     def sample_chain(
         self, params, key, n_nodes: int = 10, keep_frames: int = 100,
-        std: float = 0.7, n_steps=None,
+        std: float = 0.7, n_steps=None, context=None,
     ):
         """Single-molecule denoising trajectory for visualization
         (reference sample_chain_pos :65-116). Returns [keep_frames, N', 3+K]
-        oldest-noise-first."""
+        oldest-noise-first. `context`: [1, C] conditioning values for a
+        conditional model."""
         counts = jnp.full((1,), n_nodes, jnp.int32)
-        chain = self._jit_chain(float(std), int(keep_frames), n_steps)(
-            params, key, counts
-        )
+        has_ctx = context is not None
+        fn = self._jit_chain(float(std), int(keep_frames), n_steps, has_ctx)
+        if has_ctx:
+            chain = fn(params, key, counts, jnp.asarray(context, jnp.float32))
+        else:
+            chain = fn(params, key, counts)
         return chain[::-1, 0]  # frame 0 noisiest, last frame = final sample
 
     def make_guided_sampler(

@@ -39,9 +39,16 @@ from gaudi_tpu.train.optim import last_grad_norm, make_optimizer
 from gaudi_tpu.train.state import TrainState
 
 
+def context_columns(cfg: EDMConfig) -> list:
+    """Names of the conditioning targets (EDMConfig.context_features)."""
+    return [c for c in cfg.context_features.split(",") if c]
+
+
 def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
+    n_ctx = len(context_columns(cfg))
     model = EGNNDynamics(
         in_node_nf=in_node_nf,
+        context_node_nf=n_ctx + 1 if n_ctx else 0,  # +1: CFG indicator
         dtype=jnp.dtype(cfg.dtype),
         hidden_nf=cfg.nf,
         n_layers=cfg.n_layers,
@@ -96,12 +103,30 @@ class EDMTrainer:
         self.model, self.edm = build_edm(cfg, self.in_node_nf)
         self.optimizer = make_optimizer(cfg.lr, clip=cfg.clip_grad)
 
+        # Conditional EDM: indices of the conditioning columns within the
+        # dataset's (normalized) target vector (config.py context_features).
+        ctx_cols = context_columns(cfg)
+        self._ctx_idx = None
+        if ctx_cols:
+            targets = list(self.train_ds.cfg.targets)
+            missing = [c for c in ctx_cols if c not in targets]
+            if missing:
+                raise ValueError(
+                    f"context_features {missing} not in targets {targets}"
+                )
+            self._ctx_idx = np.asarray([targets.index(c) for c in ctx_cols])
+
         n_pad = self.train_ds.padded_nodes
         key = jax.random.PRNGKey(cfg.seed)
         dummy_xh = jnp.zeros((2, n_pad, 3 + self.in_node_nf))
         dummy_nm = jnp.ones((2, n_pad, 1))
         dummy_em = jnp.ones((2, n_pad, n_pad))
-        params = self.model.init(key, jnp.zeros((2, 1)), dummy_xh, dummy_nm, dummy_em)
+        dummy_ctx = (
+            jnp.zeros((2, n_pad, len(ctx_cols) + 1)) if ctx_cols else None
+        )
+        params = self.model.init(
+            key, jnp.zeros((2, 1)), dummy_xh, dummy_nm, dummy_em, dummy_ctx
+        )
         self.state = TrainState.create(
             params, self.optimizer, ema=cfg.ema_decay > 0
         )
@@ -114,21 +139,24 @@ class EDMTrainer:
         if mesh is not None:
             bs = batch_sharding(mesh)
             rep = replicated_sharding(mesh)
+            # conditional models pass the context-targets vector y as a 7th
+            # positional arg (in_shardings must match the passed arg count)
+            in_sh = (rep, bs, bs, bs, bs, rep)
+            if self._ctx_idx is not None:
+                in_sh = in_sh + (bs,)
             self._train_step = call_with_rules(
                 jax.jit(
                     self._step_impl,
                     static_argnames=("train",),
                     donate_argnums=(0,),
-                    in_shardings=(rep, bs, bs, bs, bs, rep),
+                    in_shardings=in_sh,
                     out_shardings=(rep, rep),
                 ),
                 mesh,
                 mp_mode,
             )
             self._val_step = call_with_rules(
-                jax.jit(
-                    self._eval_impl, in_shardings=(rep, bs, bs, bs, bs, rep)
-                ),
+                jax.jit(self._eval_impl, in_shardings=in_sh),
                 mesh,
                 mp_mode,
             )
@@ -155,8 +183,23 @@ class EDMTrainer:
         x = M.remove_mean_with_mask(x, node_mask)
         return x, h, node_mask, edge_mask
 
-    def _loss_impl(self, params, x, h, n_nodes, weight, key, train):
+    def _loss_impl(self, params, x, h, n_nodes, weight, key, train, y=None):
         x, h, node_mask, edge_mask = self._prep(x, h, n_nodes)
+        context = None
+        if self._ctx_idx is not None:
+            from gaudi_tpu.diffusion.cfg import build_context
+
+            key, k_drop = jax.random.split(key)
+            context = build_context(y[:, self._ctx_idx], node_mask)
+            if train and self.cfg.context_dropout > 0.0:
+                # CFG training: drop the whole context (incl. indicator) to
+                # the null token per sample
+                keep = jax.random.bernoulli(
+                    k_drop,
+                    1.0 - self.cfg.context_dropout,
+                    (x.shape[0], 1, 1),
+                )
+                context = context * keep
         t_int = None
         if train and self.cfg.t_bias_frac > 0.0:
             # Low-t fine-tune: draw t for a leading slice of the (shuffled)
@@ -174,15 +217,16 @@ class EDMTrainer:
                 axis=0,
             ).astype(jnp.float32)
         loss, aux = self.edm.loss(
-            params, key, x, h, node_mask, edge_mask, training=train, t_int=t_int
+            params, key, x, h, node_mask, edge_mask, training=train,
+            t_int=t_int, context=context,
         )
         wsum = jnp.maximum(weight.sum(), 1.0)
         return (loss * weight).sum() / wsum, aux
 
-    def _step_impl(self, state, x, h, n_nodes, weight, key, train=True):
+    def _step_impl(self, state, x, h, n_nodes, weight, key, y=None, train=True):
         (loss, aux), grads = jax.value_and_grad(
             self._loss_impl, has_aux=True
-        )(state.params, x, h, n_nodes, weight, key, train)
+        )(state.params, x, h, n_nodes, weight, key, train, y)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -202,8 +246,10 @@ class EDMTrainer:
         metrics = {"loss": loss, "grad_norm": last_grad_norm(opt_state)}
         return new_state, metrics
 
-    def _eval_impl(self, params, x, h, n_nodes, weight, key):
-        loss, _ = self._loss_impl(params, x, h, n_nodes, weight, key, train=False)
+    def _eval_impl(self, params, x, h, n_nodes, weight, key, y=None):
+        loss, _ = self._loss_impl(
+            params, x, h, n_nodes, weight, key, train=False, y=y
+        )
         return loss
 
     # ------------------------------------------------------------------
@@ -216,12 +262,22 @@ class EDMTrainer:
             jnp.asarray(batch["weight"]),
         )
 
+    def _ctx_arg(self, batch):
+        """() when unconditional; the (normalized) target vector otherwise.
+        Splatted into the step calls so the positional arg count matches the
+        jit in_shardings tuples above."""
+        if self._ctx_idx is None:
+            return ()
+        return (jnp.asarray(batch["y"]),)
+
     def train_epoch(self, epoch: int, rng: np.random.Generator, key) -> dict:
         losses, gnorms = [], []
         for batch in self.train_ds.iter_batches(self.cfg.batch_size, rng=rng):
             key, sub = jax.random.split(key)
             x, h, n, w = self._batch_arrays(batch)
-            self.state, metrics = self._train_step(self.state, x, h, n, w, sub)
+            self.state, metrics = self._train_step(
+                self.state, x, h, n, w, sub, *self._ctx_arg(batch)
+            )
             losses.append(metrics["loss"])
             gnorms.append(metrics["grad_norm"])
         return {
@@ -234,7 +290,11 @@ class EDMTrainer:
         for batch in dataset.iter_batches(self.cfg.batch_size, shuffle=False):
             key, sub = jax.random.split(key)
             x, h, n, w = self._batch_arrays(batch)
-            losses.append(self._val_step(self.state.params, x, h, n, w, sub))
+            losses.append(
+                self._val_step(
+                    self.state.params, x, h, n, w, sub, *self._ctx_arg(batch)
+                )
+            )
             weights.append(float(w.sum()))
         w = np.asarray(weights)
         return float(np.asarray(jnp.stack(losses)) @ w / w.sum())
@@ -252,14 +312,25 @@ class EDMTrainer:
             rng = np.random.default_rng(epoch)
             counts = self.nodes_dist.sample(n_samples, rng)
             k1, k2 = jax.random.split(key)
-            x, h, nm, _ = sampler.sample(self.sampling_params, k1, counts, std=0.7)
+            ctx = chain_ctx = None
+            if self._ctx_idx is not None:
+                # conditional model: draw contexts from the per-node-count
+                # property histograms (the same prior guided generation uses)
+                y = self.prop_dist.sample_batch(counts, rng)
+                ctx = y[:, self._ctx_idx]
+                chain_ctx = ctx[:1]
+            x, h, nm, _ = sampler.sample(
+                self.sampling_params, k1, counts, std=0.7, context=ctx
+            )
             mols = to_molecule_list(x, h, nm, self._orientation, cfg.max_nodes)
             out = f"{cfg.exp_dir}/epoch_{epoch}"
             for i, (xi, ti) in enumerate(mols):
                 plot_graph_of_rings(
                     xi, ti, f"{out}/mol{i}.png", dataset=cfg.dataset
                 )
-            chain = sampler.sample_chain(self.sampling_params, k2, std=0.7)
+            chain = sampler.sample_chain(
+                self.sampling_params, k2, std=0.7, context=chain_ctx
+            )
             plot_chain(np.asarray(chain), f"{out}/chain.gif", cfg.dataset)
         except Exception as e:  # visualization must never kill training
             print(f"sample visualization failed: {e}")

@@ -1,0 +1,170 @@
+"""Conditional EDM + classifier-free guidance (diffusion/cfg.py).
+
+Beyond-reference capability (the reference only does classifier guidance via
+a separate predictor — generation_guidance.py). Covers the context builder,
+the CFG score combination, trainer-side context dropout, and the end-to-end
+conditional train/sample path.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaudi_tpu.config import EDMConfig
+from gaudi_tpu.data.synthetic import generate_dataset
+from gaudi_tpu.diffusion.cfg import build_context, null_context, with_cfg
+
+
+@pytest.fixture(scope="module")
+def cond_exp(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cfg"))
+    csv = generate_dataset(root, "cata", n_molecules=60, seed=0)
+    cfg = EDMConfig(
+        dataset="cata", csv_file=csv, xyz_root=root + "/cata-xyz",
+        max_nodes=11, target_features="GAP_eV,HOMO_eV",
+        context_features="GAP_eV", context_dropout=0.1,
+        n_layers=1, nf=16, diffusion_steps=20, batch_size=16,
+        num_epochs=1, save_dir=root + "/summary", name="tiny-cfg", lr=1e-3,
+    )
+    return root, cfg
+
+
+def _trainer(cfg):
+    from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+    return EDMTrainer(cfg)
+
+
+def test_build_context_shapes_indicator_and_mask():
+    y = jnp.asarray([[0.5], [-1.0]])
+    nm = jnp.asarray(
+        [[[1.0]] * 2 + [[0.0]] * 1, [[1.0]] * 3]
+    )  # [2, 3, 1]
+    ctx = build_context(y, nm)
+    assert ctx.shape == (2, 3, 2)  # C + indicator
+    np.testing.assert_allclose(np.asarray(ctx[0, 0]), [0.5, 1.0])
+    np.testing.assert_allclose(np.asarray(ctx[0, 2]), [0.0, 0.0])  # padded
+    np.testing.assert_allclose(np.asarray(ctx[1, 2]), [-1.0, 1.0])
+    # the null token zeroes the indicator too
+    assert float(jnp.abs(null_context(ctx)).max()) == 0.0
+
+
+def test_with_cfg_combination_math(cond_exp):
+    """with_cfg(w).phi == (1+w) * eps(z, c) - w * eps(z, null)."""
+    _, cfg = cond_exp
+    tr = _trainer(cfg)
+    b, n = 4, cfg.max_nodes
+    key = jax.random.PRNGKey(0)
+    zt = jax.random.normal(key, (b, n, 3 + tr.in_node_nf))
+    nm = jnp.ones((b, n, 1))
+    em = jnp.ones((b, n, n))
+    t = jnp.full((b, 1), 0.4)
+    ctx = build_context(jnp.linspace(-1, 1, b)[:, None], nm)
+
+    eps_c = tr.edm.phi(tr.state.params, zt, t, nm, em, ctx)
+    eps_u = tr.edm.phi(tr.state.params, zt, t, nm, em, null_context(ctx))
+    w = 1.5
+    eps_cfg = with_cfg(tr.edm, w).phi(tr.state.params, zt, t, nm, em, ctx)
+    np.testing.assert_allclose(
+        np.asarray(eps_cfg),
+        np.asarray((1 + w) * eps_c - w * eps_u),
+        atol=1e-5,
+    )
+    # weight 0 returns the same EDM (no double forward)
+    assert with_cfg(tr.edm, 0.0) is tr.edm
+    # conditioning actually reaches the network
+    assert float(jnp.abs(eps_c - eps_u).max()) > 0
+
+
+def test_context_dropout_gates_the_context(cond_exp):
+    _, cfg = cond_exp
+    captured = {}
+
+    for drop, train in ((1.0, True), (0.0, True), (1.0, False)):
+        tr = _trainer(dataclasses.replace(cfg, context_dropout=drop))
+        orig = tr.edm.loss
+
+        def spy(params, key, x, h, nm, em, training=True, t_int=None,
+                context=None, **kw):
+            captured["context"] = context
+            return orig(params, key, x, h, nm, em, training=training,
+                        t_int=t_int, context=context, **kw)
+
+        object.__setattr__(tr.edm, "loss", spy)
+        batch = next(
+            tr.train_ds.iter_batches(16, rng=np.random.default_rng(0))
+        )
+        args = tuple(
+            jnp.asarray(batch[k]) for k in ("x", "h", "n_nodes", "weight")
+        )
+        loss, _ = tr._loss_impl(
+            tr.state.params, *args, jax.random.PRNGKey(0), train,
+            jnp.asarray(batch["y"]),
+        )
+        ctx = np.asarray(captured["context"])
+        assert ctx.shape[-1] == 2  # GAP_eV + indicator
+        ind = ctx[..., -1].max(axis=1)  # per-sample indicator
+        if drop == 1.0 and train:
+            assert (ind == 0).all()  # every context dropped to null
+        else:
+            assert (ind == 1).all()  # eval never drops; drop=0 never drops
+        assert np.isfinite(float(loss))
+
+
+def test_conditional_train_eval_and_cfg_sampling(cond_exp):
+    from gaudi_tpu.sampling import Sampler
+
+    _, cfg = cond_exp
+    tr = _trainer(cfg)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(1)
+    m = tr.train_epoch(0, rng, key)
+    assert np.isfinite(m["loss"])
+    assert np.isfinite(tr.eval_epoch(tr.val_ds, jax.random.PRNGKey(2)))
+
+    counts = np.full(8, 5, np.int64)
+    ctx = tr.prop_dist.sample_batch(counts, rng)[:, tr._ctx_idx]
+    s = Sampler(tr.edm, cfg.max_nodes)
+    xc, hc, nm, _ = s.sample(
+        tr.state.params, jax.random.PRNGKey(3), counts, std=0.7, context=ctx
+    )
+    assert np.isfinite(np.asarray(xc)).all()
+    # masked slots stay zero
+    assert float(jnp.abs(xc * (1 - nm)).max()) == 0.0
+
+    # CFG weight changes the samples (two-forward combination is live) but
+    # keeps them finite/masked; weight 0 is the plain conditional path
+    xw, hw, _, _ = s.sample(
+        tr.state.params, jax.random.PRNGKey(3), counts, std=0.7,
+        context=ctx, cfg_weight=2.0,
+    )
+    assert np.isfinite(np.asarray(xw)).all()
+    assert float(jnp.abs(xw - xc).max()) > 1e-6
+
+    # chain viz path accepts context too
+    chain = s.sample_chain(
+        tr.state.params, jax.random.PRNGKey(4), n_nodes=5,
+        keep_frames=4, context=ctx[:1],
+    )
+    assert np.isfinite(np.asarray(chain)).all()
+
+
+def test_conditional_config_roundtrip(cond_exp, tmp_path):
+    _, cfg = cond_exp
+    cfg2 = dataclasses.replace(
+        cfg, save_dir=str(tmp_path), name="rt", context_dropout=0.25
+    )
+    cfg2.save()
+    loaded = EDMConfig.load(cfg2.exp_dir)
+    assert loaded.context_features == "GAP_eV"
+    assert loaded.context_dropout == 0.25
+
+
+def test_unconditional_model_rejects_missing_target(cond_exp):
+    _, cfg = cond_exp
+    bad = dataclasses.replace(cfg, context_features="NOPE_eV")
+    with pytest.raises(ValueError, match="NOPE_eV"):
+        _trainer(bad)
