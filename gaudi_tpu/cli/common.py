@@ -100,3 +100,40 @@ def load_predictor_from_dir(exp_dir: str):
 
     cfg = PredictorConfig.load(exp_dir)
     return cfg, PredictorTrainer(cfg)
+
+
+def draw_context(trainer, counts, rng, context_set: str = ""):
+    """[B, C] normalized conditioning values for a conditional EDM.
+
+    Base draws come from the train-set per-node-count property histograms
+    (PropertyDistribution); `context_set` ("COL=V,COL2=V2", raw units)
+    pins named columns to fixed values — e.g. "VALID=1" to condition on
+    chemical validity. Returns None for unconditional trainers.
+    """
+    if getattr(trainer, "_ctx_idx", None) is None:
+        return None
+    import numpy as np
+
+    from gaudi_tpu.train.trainer_edm import context_columns
+
+    y = trainer.prop_dist.sample_batch(np.asarray(counts), rng)
+    ctx = y[:, trainer._ctx_idx]
+    if context_set:
+        fixed = {}
+        for kv in context_set.split(","):
+            if not kv:
+                continue
+            k, v = kv.split("=")
+            fixed[k.strip()] = float(v)
+        cols = context_columns(trainer.cfg)
+        unknown = set(fixed) - set(cols)
+        if unknown:
+            raise ValueError(f"context_set columns {unknown} not in {cols}")
+        for j, col in enumerate(cols):
+            if col in fixed:
+                ti = int(trainer._ctx_idx[j])
+                raw = fixed[col]
+                if trainer.train_ds.cfg.normalize:
+                    raw = (raw - trainer.train_ds.mean[ti]) / trainer.train_ds.std[ti]
+                ctx[:, j] = raw
+    return ctx

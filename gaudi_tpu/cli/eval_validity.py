@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "with --context-features (0 = plain conditional "
                         "sampling; contexts drawn from the train-set "
                         "property histograms)")
+    p.add_argument("--context-set", default="",
+                   help="pin conditioning columns to fixed raw values, e.g. "
+                        "'VALID=1' (others still drawn from the histograms)")
     p.add_argument("--guide-prob", action="store_true",
                    help="guide on sigmoid of the head (gradient self-damps "
                         "where the classifier is confident; for BCE-trained "
@@ -88,7 +91,7 @@ def make_drawer(
     trainer, batch_size, std, mesh=None, n_steps=None,
     polish=0, polish_t=0.08, polish_noise=1.0, polish_decay=0.6,
     polish_guide="", polish_guide_scale=0.0,
-    target_fn=None, guide_scale=0.0, cfg_weight=0.0,
+    target_fn=None, guide_scale=0.0, cfg_weight=0.0, context_set="",
 ):
     """Build a reusable ``draw(n, seed) -> (molecules, seconds)`` closure.
 
@@ -157,8 +160,9 @@ def make_drawer(
             else:
                 ctx = None
                 if conditional:
-                    y = trainer.prop_dist.sample_batch(counts, rng)
-                    ctx = y[:, trainer._ctx_idx]
+                    from gaudi_tpu.cli.common import draw_context
+
+                    ctx = draw_context(trainer, counts, rng, context_set)
                 x, h, node_mask, _ = sampler.sample(
                     trainer.sampling_params, sub, counts, std, n_steps=n_steps,
                     polish=polish, polish_t=polish_t,
@@ -237,7 +241,7 @@ def main(argv=None):
         polish_guide=args.polish_guide,
         polish_guide_scale=args.polish_guide_scale,
         target_fn=target_fn, guide_scale=args.guide_scale,
-        cfg_weight=args.cfg_weight,
+        cfg_weight=args.cfg_weight, context_set=args.context_set,
     )
 
     if args.profile:
@@ -350,12 +354,12 @@ def main(argv=None):
         from gaudi_tpu.utils.plotting import plot_chain
 
         sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
-        chain_ctx = None
-        if getattr(trainer, "_ctx_idx", None) is not None:
-            y = trainer.prop_dist.sample_batch(
-                np.asarray([10]), np.random.default_rng(args.seed + 1)
-            )
-            chain_ctx = y[:, trainer._ctx_idx]
+        from gaudi_tpu.cli.common import draw_context
+
+        chain_ctx = draw_context(
+            trainer, [10], np.random.default_rng(args.seed + 1),
+            args.context_set,
+        )
         chain = sampler.sample_chain(
             trainer.sampling_params, jax.random.PRNGKey(args.seed + 1),
             std=args.std, context=chain_ctx,

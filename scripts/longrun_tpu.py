@@ -43,6 +43,18 @@ def main():
                     help="low-t fine-tune: fraction of each batch drawing t "
                          "from U[0, t_bias_cap*T]")
     ap.add_argument("--t-bias-cap", type=float, default=0.1)
+    ap.add_argument("--target-features", default="GAP_eV,HOMO_eV")
+    ap.add_argument("--labeled", action="store_true",
+                    help="generate oracle-labeled data (keeps invalid "
+                         "skeletons, adds a VALID target column)")
+    ap.add_argument("--context-features", default="",
+                    help="train a conditional EDM on these target columns "
+                         "(classifier-free guidance ready)")
+    ap.add_argument("--context-dropout", type=float, default=0.1)
+    ap.add_argument("--eval-context-set", default="",
+                    help="pin conditioning columns for the round evals, "
+                         "e.g. 'VALID=1'")
+    ap.add_argument("--eval-cfg-weight", type=float, default=0.0)
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
 
@@ -76,7 +88,8 @@ def main():
               flush=True)
         t0 = time.time()
         generate_dataset(
-            args.root, args.dataset, n_molecules=args.molecules, seed=args.seed
+            args.root, args.dataset, n_molecules=args.molecules,
+            seed=args.seed, labeled=args.labeled,
         )
         print(f"dataset generated in {time.time()-t0:.0f}s", flush=True)
 
@@ -87,7 +100,9 @@ def main():
         csv_file=csv,
         xyz_root=os.path.join(args.root, f"{args.dataset}-xyz"),
         max_nodes=11 if args.dataset != "hetro" else 10,
-        target_features="GAP_eV,HOMO_eV",
+        target_features=args.target_features,
+        context_features=args.context_features,
+        context_dropout=args.context_dropout,
         name="longrun-edm",
         save_dir=os.path.join(args.root, "summary"),
         batch_size=args.batch_size,
@@ -134,7 +149,13 @@ def main():
 
         t0 = time.time()
         counts = trainer.nodes_dist.sample(args.n_samples, rng)
-        x, h, nm, _ = sampler.sample(trainer.sampling_params, k_s, counts, std=0.7)
+        from gaudi_tpu.cli.common import draw_context
+
+        eval_ctx = draw_context(trainer, counts, rng, args.eval_context_set)
+        x, h, nm, _ = sampler.sample(
+            trainer.sampling_params, k_s, counts, std=0.7,
+            context=eval_ctx, cfg_weight=args.eval_cfg_weight,
+        )
         jax.block_until_ready(x)
         mols = to_molecule_list(
             x, h, nm, orientation=cfg.dataset == "hetro", max_nodes=cfg.max_nodes
