@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="physics prior from diffusion/priors.py applied "
                         "inside polish rounds (e.g. 'planarity')")
     p.add_argument("--polish-guide-scale", type=float, default=0.0)
+    p.add_argument("--cfg-weight", type=float, default=0.0,
+                   help="classifier-free guidance weight for a conditional "
+                        "EDM (--context-features at train time); designs by "
+                        "conditioning instead of predictor gradients — set "
+                        "--scale 0 to disable classifier guidance")
+    p.add_argument("--context-set", default="",
+                   help="pin conditioning columns to raw values for the "
+                        "conditional-EDM design path, e.g. 'GAP_eV=0.5'")
     p.add_argument("--out-dir", default="best")
     p.add_argument("--platform", default="")
     p.add_argument("--seed", type=int, default=0)
@@ -137,24 +145,51 @@ def main(argv=None):
     counts = np.full(args.batch_size, args.n_nodes, np.int64)
     key = jax.random.PRNGKey(args.seed)
 
+    conditional = getattr(edm_trainer, "_ctx_idx", None) is not None
+    if conditional and args.scale:
+        raise SystemExit(
+            "classifier guidance through a conditional EDM is not wired; "
+            "design by conditioning instead: --scale 0 --cfg-weight W "
+            "--context-set COL=V"
+        )
+
     print(f"designing {args.batch_size} molecules "
           f"(scale={args.scale}, n_nodes={args.n_nodes}, target={args.target})")
     t0 = time.time()
+
+    def draw():
+        if conditional:
+            # conditional-EDM design path: sample under the pinned context
+            # (polish runs inside the Sampler so the context flows through)
+            from gaudi_tpu.cli.common import draw_context
+
+            ctx = draw_context(
+                edm_trainer, counts, np.random.default_rng(args.seed),
+                args.context_set,
+            )
+            return sampler.sample(
+                edm_trainer.sampling_params, key, counts, std=args.std,
+                n_steps=args.n_steps or None, polish=args.polish,
+                polish_t=args.polish_t, polish_noise=args.polish_noise,
+                polish_decay=args.polish_decay,
+                polish_guide=args.polish_guide,
+                polish_guide_scale=args.polish_guide_scale,
+                context=ctx, cfg_weight=args.cfg_weight,
+            )
+        return sampler.sample_guidance(
+            edm_trainer.sampling_params, key, target_fn, counts,
+            scale=args.scale, std=args.std, n_steps=args.n_steps or None,
+        )
+
     if args.profile:
         from gaudi_tpu.utils.profiling import device_trace
 
         with device_trace(args.profile):
-            x, h, node_mask, edge_mask = sampler.sample_guidance(
-                edm_trainer.sampling_params, key, target_fn, counts,
-                scale=args.scale, std=args.std, n_steps=args.n_steps or None,
-            )
+            x, h, node_mask, edge_mask = draw()
             jax.block_until_ready(x)
     else:
-        x, h, node_mask, edge_mask = sampler.sample_guidance(
-            edm_trainer.sampling_params, key, target_fn, counts,
-            scale=args.scale, std=args.std, n_steps=args.n_steps or None,
-        )
-    if args.polish:
+        x, h, node_mask, edge_mask = draw()
+    if args.polish and not conditional:
         guide_fn = None
         if args.polish_guide and args.polish_guide_scale:
             from gaudi_tpu.diffusion.priors import get_prior
