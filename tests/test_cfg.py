@@ -168,3 +168,25 @@ def test_unconditional_model_rejects_missing_target(cond_exp):
     bad = dataclasses.replace(cfg, context_features="NOPE_eV")
     with pytest.raises(ValueError, match="NOPE_eV"):
         _trainer(bad)
+
+
+def test_conditional_step_under_tp_mesh_matches_single(cond_exp):
+    """Conditional training composes with the 2-D (data, model) mesh: the
+    7-arg step (context targets as trailing arg) shards and matches the
+    unsharded conditional step."""
+    from gaudi_tpu.parallel.mesh import create_mesh_2d
+
+    _, cfg = cond_exp
+    tr1 = _trainer(cfg)
+    from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+    tr2 = EDMTrainer(cfg, mesh=create_mesh_2d(2, 4), mp_mode="tp")
+    batch = next(tr1.train_ds.iter_batches(16, rng=np.random.default_rng(4)))
+    args = tuple(
+        jnp.asarray(batch[k]) for k in ("x", "h", "n_nodes", "weight")
+    )
+    y = jnp.asarray(batch["y"])
+    key = jax.random.PRNGKey(6)
+    s1, m1 = tr1._train_step(tr1.state, *args, key, y)
+    s2, m2 = tr2._train_step(tr2.state, *args, key, y)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
