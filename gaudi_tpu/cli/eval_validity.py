@@ -121,6 +121,13 @@ def make_drawer(
             "classifier guidance through a conditional EDM is not wired; "
             "use --cfg-weight (classifier-free) instead"
         )
+    if not conditional and (cfg_weight or context_set):
+        # fail loudly: in an unattended sweep a silently-ignored flag would
+        # produce five identical "conditional" evals
+        raise ValueError(
+            "--cfg-weight/--context-set require a model trained with "
+            "context_features (this exp dir's model is unconditional)"
+        )
     polish_fn = None
     if guided and polish:
         pg_fn = None

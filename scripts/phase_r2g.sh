@@ -10,6 +10,7 @@
 cd /root/repo || exit 1
 LOG=runs/phase_r2.log
 echo "phase_r2g start $(date)" >> $LOG
+mkdir -p runs/r2pcfg
 while ! grep -q "PHASE_R2F DONE" $LOG 2>/dev/null; do sleep 120; done
 
 # 1. conditional peri campaign (labeled data, VALID conditioning)

@@ -190,3 +190,17 @@ def test_conditional_step_under_tp_mesh_matches_single(cond_exp):
     s1, m1 = tr1._train_step(tr1.state, *args, key, y)
     s2, m2 = tr2._train_step(tr2.state, *args, key, y)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_cfg_flags_rejected_for_unconditional_model(cond_exp):
+    """--cfg-weight/--context-set against an unconditional model must fail
+    loudly, not silently run unconditional sampling."""
+    from gaudi_tpu.cli.eval_validity import make_drawer
+
+    _, cfg = cond_exp
+    uncond = dataclasses.replace(cfg, context_features="")
+    tr = _trainer(uncond)
+    with pytest.raises(ValueError, match="unconditional"):
+        make_drawer(tr, 8, 0.7, cfg_weight=1.0)
+    with pytest.raises(ValueError, match="unconditional"):
+        make_drawer(tr, 8, 0.7, context_set="GAP_eV=1")
