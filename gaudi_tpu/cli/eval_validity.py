@@ -116,11 +116,6 @@ def make_drawer(
     # the per-node-count property histograms; cfg_weight applies
     # classifier-free guidance (diffusion/cfg.py).
     conditional = getattr(trainer, "_ctx_idx", None) is not None
-    if conditional and guided:
-        raise ValueError(
-            "classifier guidance through a conditional EDM is not wired; "
-            "use --cfg-weight (classifier-free) instead"
-        )
     if not conditional and (cfg_weight or context_set):
         # fail loudly: in an unattended sweep a silently-ignored flag would
         # produce five identical "conditional" evals
@@ -136,12 +131,15 @@ def make_drawer(
 
             pg_fn = get_prior(polish_guide)
 
+        from gaudi_tpu.diffusion.cfg import build_context
+
         @jax.jit
-        def polish_fn(params, key, x, h, nm, em):
+        def polish_fn(params, key, x, h, nm, em, y_ctx=None):
+            ctx = build_context(y_ctx, nm) if conditional else None
             return trainer.edm.polish(
                 params, key, x, h, nm, em, t_start=polish_t, rounds=polish,
                 noise_scale=polish_noise, t_decay=polish_decay,
-                guide_fn=pg_fn, guide_scale=polish_guide_scale,
+                guide_fn=pg_fn, guide_scale=polish_guide_scale, context=ctx,
             )
 
     def draw(n_samples, seed):
@@ -154,22 +152,25 @@ def make_drawer(
             b = min(batch_size, remaining)
             counts = trainer.nodes_dist.sample(batch_size, rng)
             key, sub = jax.random.split(key)
+            ctx = None
+            if conditional:
+                from gaudi_tpu.cli.common import draw_context
+
+                ctx = draw_context(trainer, counts, rng, context_set)
             if guided:
                 x, h, node_mask, em = sampler.sample_guidance(
                     trainer.sampling_params, sub, target_fn, counts,
                     scale=guide_scale, std=std, n_steps=n_steps,
+                    context=ctx, cfg_weight=cfg_weight,
                 )
                 if polish_fn is not None:
                     key, kp = jax.random.split(key)
+                    pargs = (ctx,) if conditional else ()
                     x, h = polish_fn(
-                        trainer.sampling_params, kp, x, h, node_mask, em
+                        trainer.sampling_params, kp, x, h, node_mask, em,
+                        *pargs,
                     )
             else:
-                ctx = None
-                if conditional:
-                    from gaudi_tpu.cli.common import draw_context
-
-                    ctx = draw_context(trainer, counts, rng, context_set)
                 x, h, node_mask, _ = sampler.sample(
                     trainer.sampling_params, sub, counts, std, n_steps=n_steps,
                     polish=polish, polish_t=polish_t,

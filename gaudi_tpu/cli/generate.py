@@ -55,9 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--polish-guide-scale", type=float, default=0.0)
     p.add_argument("--cfg-weight", type=float, default=0.0,
                    help="classifier-free guidance weight for a conditional "
-                        "EDM (--context-features at train time); designs by "
-                        "conditioning instead of predictor gradients — set "
-                        "--scale 0 to disable classifier guidance")
+                        "EDM (--context-features at train time); with "
+                        "--scale 0 designs purely by conditioning, with "
+                        "--scale > 0 composes with classifier guidance")
     p.add_argument("--context-set", default="",
                    help="pin conditioning columns to raw values for the "
                         "conditional-EDM design path, e.g. 'GAP_eV=0.5'")
@@ -146,11 +146,18 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
 
     conditional = getattr(edm_trainer, "_ctx_idx", None) is not None
-    if conditional and args.scale:
+    if not conditional and (args.cfg_weight or args.context_set):
         raise SystemExit(
-            "classifier guidance through a conditional EDM is not wired; "
-            "design by conditioning instead: --scale 0 --cfg-weight W "
-            "--context-set COL=V"
+            "--cfg-weight/--context-set require an EDM trained with "
+            "context_features (this --edm-dir model is unconditional)"
+        )
+    ctx = None
+    if conditional:
+        from gaudi_tpu.cli.common import draw_context
+
+        ctx = draw_context(
+            edm_trainer, counts, np.random.default_rng(args.seed),
+            args.context_set,
         )
 
     print(f"designing {args.batch_size} molecules "
@@ -158,15 +165,9 @@ def main(argv=None):
     t0 = time.time()
 
     def draw():
-        if conditional:
-            # conditional-EDM design path: sample under the pinned context
-            # (polish runs inside the Sampler so the context flows through)
-            from gaudi_tpu.cli.common import draw_context
-
-            ctx = draw_context(
-                edm_trainer, counts, np.random.default_rng(args.seed),
-                args.context_set,
-            )
+        if conditional and not args.scale:
+            # pure conditional/CFG design path (polish runs inside the
+            # Sampler so the context flows through)
             return sampler.sample(
                 edm_trainer.sampling_params, key, counts, std=args.std,
                 n_steps=args.n_steps or None, polish=args.polish,
@@ -176,9 +177,12 @@ def main(argv=None):
                 polish_guide_scale=args.polish_guide_scale,
                 context=ctx, cfg_weight=args.cfg_weight,
             )
+        # classifier guidance; for a conditional EDM the context conditions
+        # the denoiser in every guided step (and cfg_weight composes)
         return sampler.sample_guidance(
             edm_trainer.sampling_params, key, target_fn, counts,
             scale=args.scale, std=args.std, n_steps=args.n_steps or None,
+            context=ctx, cfg_weight=args.cfg_weight,
         )
 
     if args.profile:
@@ -189,12 +193,19 @@ def main(argv=None):
             jax.block_until_ready(x)
     else:
         x, h, node_mask, edge_mask = draw()
-    if args.polish and not conditional:
+    # the pure conditional path already polished inside the Sampler
+    if args.polish and (args.scale or not conditional):
         guide_fn = None
         if args.polish_guide and args.polish_guide_scale:
             from gaudi_tpu.diffusion.priors import get_prior
 
             guide_fn = get_prior(args.polish_guide)
+
+        node_ctx = None
+        if conditional:
+            from gaudi_tpu.diffusion.cfg import build_context
+
+            node_ctx = build_context(jnp.asarray(ctx, jnp.float32), node_mask)
 
         @jax.jit
         def _polish(params, key, x, h):
@@ -203,6 +214,7 @@ def main(argv=None):
                 t_start=args.polish_t, rounds=args.polish,
                 noise_scale=args.polish_noise, t_decay=args.polish_decay,
                 guide_fn=guide_fn, guide_scale=args.polish_guide_scale,
+                context=node_ctx,
             )
 
         x, h = _polish(

@@ -381,16 +381,18 @@ class EDM:
         target_function: TargetFn,
         scale: float,
         max_grad_norm: float = 10.0,
+        context=None,
     ) -> jax.Array:
         """One guided reverse step (en_diffusion.py:854-935).
 
         After the stochastic posterior step, descend along
         grad_z scale * sum(target_function(z, ..., t)) with per-sample norm
         clipping, CoM projection of the coordinate gradient, and a final CoM
-        projection + NaN scrub of z_s.
+        projection + NaN scrub of z_s. `context` conditions the denoiser
+        (conditional EDM); the guidance energy itself is context-free.
         """
         mu, sigma = self._posterior_mu_sigma(
-            params, zt, s, t, node_mask, edge_mask, None
+            params, zt, s, t, node_mask, edge_mask, context
         )
         eps = M.sample_combined_noise(
             key, zt.shape[0], zt.shape[1], self.n_dims, self.in_node_nf, node_mask
@@ -522,8 +524,10 @@ class EDM:
         scale: float = 1.0,
         std: float = 1.0,
         n_steps: Optional[int] = None,
+        context=None,
     ) -> tuple[jax.Array, jax.Array]:
-        """Classifier-guided generation (en_diffusion.py:1010-1067)."""
+        """Classifier-guided generation (en_diffusion.py:1010-1067).
+        `context` conditions the denoiser throughout (conditional EDM)."""
         b, n = node_mask.shape[0], node_mask.shape[1]
         k_init, k_scan, k_final = jax.random.split(key, 3)
         z = M.sample_combined_noise(
@@ -534,11 +538,14 @@ class EDM:
             s = jnp.full((b, 1), s_idx, jnp.float32) / self.T
             t = jnp.full((b, 1), t_idx, jnp.float32) / self.T
             return self.sample_zs_given_zt_guidance(
-                params, k, s, t, z, node_mask, edge_mask, target_function, scale
+                params, k, s, t, z, node_mask, edge_mask, target_function,
+                scale, context=context,
             )
 
         z = self._scan_reverse(step, k_scan, z, n_steps)
-        x, h = self.sample_xh_given_z0(params, k_final, z, node_mask, edge_mask)
+        x, h = self.sample_xh_given_z0(
+            params, k_final, z, node_mask, edge_mask, context
+        )
         x = M.remove_mean_with_mask(x, node_mask)
         return x, h
 

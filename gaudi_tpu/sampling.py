@@ -195,23 +195,39 @@ class Sampler:
         return chain[::-1, 0]  # frame 0 noisiest, last frame = final sample
 
     def make_guided_sampler(
-        self, target_function: TargetFn, std: float = 1.0, n_steps=None
+        self, target_function: TargetFn, std: float = 1.0, n_steps=None,
+        has_context: bool = False, cfg_weight: float = 0.0,
     ) -> Callable:
         """Compile a guided sampler for a user target function
-        (reference sample_guidance :172-224). Cached per (fn, std, n_steps)
-        so repeated sample_guidance calls reuse the compiled program."""
-        key = (target_function, float(std), n_steps)
+        (reference sample_guidance :172-224). Cached per
+        (fn, std, n_steps, has_context, cfg_weight) so repeated
+        sample_guidance calls reuse the compiled program. For a conditional
+        EDM the context conditions the denoiser inside every guided step
+        (cfg_weight > 0 additionally applies the CFG combination — classifier
+        guidance and classifier-free guidance compose)."""
+        key = (target_function, float(std), n_steps, has_context, cfg_weight)
         cached = getattr(self, "_guided_cache", None)
         if cached is None:
             cached = self._guided_cache = {}
         if key in cached:
             return cached[key]
 
-        def fn(params, key, n_nodes, scale):
+        edm = self.edm
+        if has_context and cfg_weight:
+            from gaudi_tpu.diffusion.cfg import with_cfg
+
+            edm = with_cfg(edm, cfg_weight)
+
+        def fn(params, key, n_nodes, scale, y_ctx=None):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
             )
-            x, h = self.edm.sample_guidance(
+            context = None
+            if has_context:
+                from gaudi_tpu.diffusion.cfg import build_context
+
+                context = build_context(y_ctx, node_mask)
+            x, h = edm.sample_guidance(
                 params,
                 key,
                 target_function,
@@ -220,6 +236,7 @@ class Sampler:
                 scale=scale,
                 std=std,
                 n_steps=n_steps,
+                context=context,
             )
             return x, h, node_mask, edge_mask
 
@@ -229,7 +246,8 @@ class Sampler:
 
             rep = replicated_sharding(self.mesh)
             bs = batch_sharding(self.mesh)
-            sh = {"in_shardings": (rep, rep, bs, rep), "out_shardings": (bs, bs, bs, bs)}
+            ins = (rep, rep, bs, rep) + ((bs,) if has_context else ())
+            sh = {"in_shardings": ins, "out_shardings": (bs, bs, bs, bs)}
         from gaudi_tpu.parallel.mesh import call_with_rules
 
         jitted = call_with_rules(jax.jit(fn, **sh), self.mesh, self.mp_mode)
@@ -245,9 +263,18 @@ class Sampler:
         scale: float = 1.0,
         std: float = 1.0,
         n_steps=None,
+        context=None,
+        cfg_weight: float = 0.0,
     ):
-        fn = self.make_guided_sampler(target_function, std, n_steps)
+        has_ctx = context is not None
+        fn = self.make_guided_sampler(
+            target_function, std, n_steps, has_ctx,
+            float(cfg_weight) if has_ctx else 0.0,
+        )
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
+        if has_ctx:
+            return fn(params, key, n_nodes, jnp.float32(scale),
+                      jnp.asarray(context, jnp.float32))
         return fn(params, key, n_nodes, jnp.float32(scale))
 
 
