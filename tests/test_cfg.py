@@ -204,3 +204,44 @@ def test_cfg_flags_rejected_for_unconditional_model(cond_exp):
         make_drawer(tr, 8, 0.7, cfg_weight=1.0)
     with pytest.raises(ValueError, match="unconditional"):
         make_drawer(tr, 8, 0.7, context_set="GAP_eV=1")
+
+
+def test_conditional_sampling_sharded_matches_single(cond_exp):
+    """Conditional (context) sampling and guided+context sampling are
+    sharding-transparent on the DP mesh (covers the context-extended
+    in_shardings tuples)."""
+    from gaudi_tpu.parallel.mesh import create_mesh
+    from gaudi_tpu.sampling import Sampler
+
+    _, cfg = cond_exp
+    tr = _trainer(cfg)
+    counts = np.full(16, 5, np.int64)
+    ctx = np.linspace(-1, 1, 16)[:, None]
+    key = jax.random.PRNGKey(12)
+
+    s1 = Sampler(tr.edm, cfg.max_nodes)
+    s2 = Sampler(tr.edm, cfg.max_nodes, mesh=create_mesh(8))
+    x1, h1, _, _ = s1.sample(
+        tr.state.params, key, counts, std=0.7, context=ctx, cfg_weight=1.0
+    )
+    x2, h2, _, _ = s2.sample(
+        tr.state.params, key, counts, std=0.7, context=ctx, cfg_weight=1.0
+    )
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+    def target_fn(zt, nm, em, t):
+        # cheap deterministic target: mean squared coordinate norm
+        return (zt[..., :3] ** 2).sum(axis=(1, 2))
+
+    g1 = s1.sample_guidance(
+        tr.state.params, key, target_fn, counts, scale=0.2, context=ctx,
+        cfg_weight=0.5,
+    )
+    g2 = s2.sample_guidance(
+        tr.state.params, key, target_fn, counts, scale=0.2, context=ctx,
+        cfg_weight=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-5
+    )
