@@ -1,0 +1,111 @@
+"""HTTP serving layer (cli/serve.py): warm drawer reuse, judging, rejection.
+
+Beyond-reference production surface. Runs a real ThreadingHTTPServer on an
+ephemeral port against a tiny trained-from-scratch model and exercises the
+wire protocol end to end.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from gaudi_tpu.config import EDMConfig
+from gaudi_tpu.data.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve"))
+    csv = generate_dataset(root, "cata", n_molecules=40, seed=0)
+    cfg = EDMConfig(
+        dataset="cata", csv_file=csv, xyz_root=root + "/cata-xyz",
+        max_nodes=11, target_features="GAP_eV",
+        n_layers=1, nf=16, diffusion_steps=10, batch_size=8,
+        num_epochs=1, save_dir=root + "/summary", name="srv", lr=1e-3,
+    )
+    from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+    EDMTrainer(cfg).fit(num_epochs=1, sample_every=0)
+
+    from gaudi_tpu.cli.serve import build_parser, create_server
+
+    args = build_parser().parse_args(
+        ["--exp-dir", cfg.exp_dir, "--port", "0", "--batch-size", "8",
+         "--n-steps", "5"]
+    )
+    srv, service = create_server(args)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_port}", service
+    srv.shutdown()
+
+
+def _post(url, payload, path="/generate"):
+    req = urllib.request.Request(
+        url + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    url, service = server
+    with urllib.request.urlopen(url + "/health", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["ok"] and body["dataset"] == "cata"
+    assert body["warm_seconds"] >= 0
+
+
+def test_generate_shapes_and_determinism(server):
+    url, _ = server
+    status, out = _post(url, {"n": 4, "seed": 11})
+    assert status == 200
+    assert out["n_returned"] == 4 and len(out["molecules"]) == 4
+    m = out["molecules"][0]
+    assert len(m["positions"]) == len(m["ring_types"]) >= 2
+    assert len(m["positions"][0]) == 3
+    assert "valid" not in m  # no judging requested
+    # same seed -> same molecules (warm compiled program, pure PRNG)
+    _, out2 = _post(url, {"n": 4, "seed": 11})
+    assert out2["molecules"] == out["molecules"]
+    _, out3 = _post(url, {"n": 4, "seed": 12})
+    assert out3["molecules"] != out["molecules"]
+
+
+def test_generate_judged(server):
+    url, _ = server
+    status, out = _post(url, {"n": 4, "seed": 3, "judge": True})
+    assert status == 200
+    assert all(isinstance(m["valid"], bool) for m in out["molecules"])
+
+
+def test_only_valid_bounded_rounds(server):
+    url, _ = server
+    # untrained-quality model: likely nothing valid; the loop must stop at
+    # max_rounds and return only judged-valid molecules
+    status, out = _post(
+        url, {"n": 3, "seed": 5, "only_valid": True, "max_rounds": 1}
+    )
+    assert status == 200
+    assert out["rounds"] <= 1
+    assert out["n_returned"] <= 3
+    assert all(m["valid"] for m in out["molecules"])
+
+
+def test_bad_request_and_unknown_path(server):
+    url, _ = server
+    status, out = _post(url, {"n": 0})
+    assert status == 400 and "error" in out
+    status, out = _post(url, {}, path="/nope")
+    assert status == 404 and "error" in out
+    # the server survives bad requests
+    status, out = _post(url, {"n": 2, "seed": 1})
+    assert status == 200 and out["n_returned"] == 2
