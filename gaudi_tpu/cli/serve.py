@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cfg-weight", type=float, default=0.0)
     p.add_argument("--context-set", default="",
                    help="pin conditioning columns, e.g. 'VALID=1'")
+    p.add_argument("--guide-predictor-dir", default="",
+                   help="serve classifier-guided generation toward "
+                        "--guide-target with this predictor")
+    p.add_argument("--guide-target", default="min:GAP_eV")
+    p.add_argument("--guide-scale", type=float, default=0.6)
     p.add_argument("--tol", type=float, default=0.1)
     p.add_argument("--eval-workers", type=int, default=0)
     p.add_argument("--platform", default="")
@@ -66,6 +71,22 @@ class GenerationService:
 
         self.cfg, self.trainer = load_edm_from_dir(args.exp_dir)
         self.args = args
+        target_fn, guide_scale = None, 0.0
+        if args.guide_predictor_dir:
+            from gaudi_tpu.cli.common import load_predictor_from_dir
+            from gaudi_tpu.cli.generate import make_target_function
+            from gaudi_tpu.data import PropertyDistribution
+
+            pred_cfg, pred_trainer = load_predictor_from_dir(
+                args.guide_predictor_dir
+            )
+            target_fn = make_target_function(
+                args.guide_target, pred_trainer.model,
+                pred_trainer.state.params,
+                PropertyDistribution(pred_trainer.train_ds),
+                pred_cfg.data_config().targets,
+            )
+            guide_scale = args.guide_scale
         self.draw = make_drawer(
             self.trainer, args.batch_size, args.std,
             n_steps=args.n_steps or None,
@@ -73,6 +94,7 @@ class GenerationService:
             polish_noise=args.polish_noise, polish_decay=args.polish_decay,
             polish_guide=args.polish_guide,
             polish_guide_scale=args.polish_guide_scale,
+            target_fn=target_fn, guide_scale=guide_scale,
             cfg_weight=args.cfg_weight, context_set=args.context_set,
         )
         self._lock = threading.Lock()

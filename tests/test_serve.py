@@ -109,3 +109,37 @@ def test_bad_request_and_unknown_path(server):
     # the server survives bad requests
     status, out = _post(url, {"n": 2, "seed": 1})
     assert status == 200 and out["n_returned"] == 2
+
+
+def test_guided_server(server, tmp_path_factory):
+    """Classifier-guided serving: the guided drawer compiles at startup and
+    serves judged requests."""
+    from gaudi_tpu.config import PredictorConfig
+    from gaudi_tpu.train.trainer_predictor import PredictorTrainer
+
+    url, service = server
+    ecfg = service.cfg
+    root = str(tmp_path_factory.mktemp("serve_pred"))
+    pcfg = PredictorConfig(
+        dataset="cata", csv_file=ecfg.csv_file, xyz_root=ecfg.xyz_root,
+        max_nodes=11, target_features="GAP_eV",
+        n_layers=1, nf=16, batch_size=8, num_epochs=1,
+        save_dir=root, name="srvp",
+    )
+    tr = PredictorTrainer(pcfg, edm_cfg=ecfg)
+    tr.fit(num_epochs=1)
+
+    from gaudi_tpu.cli.serve import build_parser, create_server
+
+    args = build_parser().parse_args(
+        ["--exp-dir", ecfg.exp_dir, "--port", "0", "--batch-size", "8",
+         "--n-steps", "5", "--guide-predictor-dir", pcfg.exp_dir,
+         "--guide-target", "min:GAP_eV", "--guide-scale", "0.3"]
+    )
+    srv, _ = create_server(args)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    gurl = f"http://127.0.0.1:{srv.server_port}"
+    status, out = _post(gurl, {"n": 2, "seed": 1, "judge": True})
+    srv.shutdown()
+    assert status == 200 and out["n_returned"] == 2
+    assert all(isinstance(m["valid"], bool) for m in out["molecules"])
