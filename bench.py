@@ -103,11 +103,12 @@ def main():
     # roofline: analytic matmul FLOP floor for the whole T-step guided
     # program (utils/flops.py — XLA's cost_analysis counts the scan body
     # once, under-reporting ~T-fold) vs the chip's bf16 peak (v5e/lite:
-    # 394 TFLOP/s; override with GAUDI_TPU_PEAK_FLOPS for other parts)
+    # 197 TFLOP/s bf16 — 394 is the int8 rate; override with
+    # GAUDI_TPU_PEAK_FLOPS for other parts)
     from gaudi_tpu.utils.flops import guided_step_flops
 
     flops = timesteps * guided_step_flops(batch, max_nodes, 192, 9, 196, 12)
-    peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 394e12))
+    peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 197e12))
     mfu = flops / secs / peak
     mfu_txt = (
         f" flops>={flops:.3e} ({flops/secs/1e12:.1f} TFLOP/s, "
