@@ -26,6 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-steps", type=int, default=0,
                    help="0 = full T reverse steps (reference); K < T uses "
                         "the strided few-step sampler (~T/K speedup)")
+    p.add_argument("--solver", default="ancestral",
+                   choices=["ancestral", "dpmpp"],
+                   help="dpmpp = DPM-Solver++(2M) PF-ODE integrator "
+                        "(diffusion/solvers.py): quality holds at "
+                        "--n-steps 10-25 denoiser calls")
+    p.add_argument("--solver-order", type=int, default=2, choices=[1, 2],
+                   help="1 = DDIM on the same log-SNR grid")
     p.add_argument("--polish", type=int, default=0,
                    help="SDEdit manifold-projection rounds after sampling "
                         "(beyond-reference quality knob; ~2%% extra compute "
@@ -92,6 +99,7 @@ def make_drawer(
     polish=0, polish_t=0.08, polish_noise=1.0, polish_decay=0.6,
     polish_guide="", polish_guide_scale=0.0,
     target_fn=None, guide_scale=0.0, cfg_weight=0.0, context_set="",
+    solver="ancestral", solver_order=2,
 ):
     """Build a reusable ``draw(n, seed) -> (molecules, seconds)`` closure.
 
@@ -162,6 +170,7 @@ def make_drawer(
                     trainer.sampling_params, sub, target_fn, counts,
                     scale=guide_scale, std=std, n_steps=n_steps,
                     context=ctx, cfg_weight=cfg_weight,
+                    solver=solver, solver_order=solver_order,
                 )
                 if polish_fn is not None:
                     key, kp = jax.random.split(key)
@@ -178,6 +187,7 @@ def make_drawer(
                     polish_guide=polish_guide,
                     polish_guide_scale=polish_guide_scale,
                     context=ctx, cfg_weight=cfg_weight,
+                    solver=solver, solver_order=solver_order,
                 )
             jax.block_until_ready(x)
             mols += to_molecule_list(
@@ -250,6 +260,7 @@ def main(argv=None):
         polish_guide_scale=args.polish_guide_scale,
         target_fn=target_fn, guide_scale=args.guide_scale,
         cfg_weight=args.cfg_weight, context_set=args.context_set,
+        solver=args.solver, solver_order=args.solver_order,
     )
 
     if args.profile:

@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-nodes", type=int, default=10)
     p.add_argument("--target", default="min:GAP_eV")
     p.add_argument("--std", type=float, default=1.0)
+    p.add_argument("--solver", default="ancestral",
+                   choices=["ancestral", "dpmpp"],
+                   help="dpmpp = DPM-Solver++(2M) ODE sampler (pair with "
+                        "--n-steps 10-25)")
+    p.add_argument("--solver-order", type=int, default=2, choices=[1, 2])
     p.add_argument("--n-steps", type=int, default=0,
                    help="0 = full T reverse steps (reference); K < T uses "
                         "the strided few-step sampler (~T/K speedup)")
@@ -176,6 +181,7 @@ def main(argv=None):
                 polish_guide=args.polish_guide,
                 polish_guide_scale=args.polish_guide_scale,
                 context=ctx, cfg_weight=args.cfg_weight,
+                solver=args.solver, solver_order=args.solver_order,
             )
         # classifier guidance; for a conditional EDM the context conditions
         # the denoiser in every guided step (and cfg_weight composes)
@@ -183,6 +189,7 @@ def main(argv=None):
             edm_trainer.sampling_params, key, target_fn, counts,
             scale=args.scale, std=args.std, n_steps=args.n_steps or None,
             context=ctx, cfg_weight=args.cfg_weight,
+            solver=args.solver, solver_order=args.solver_order,
         )
 
     if args.profile:

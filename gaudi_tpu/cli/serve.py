@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compiled device batch; requests are padded up to it")
     p.add_argument("--std", type=float, default=0.7)
     p.add_argument("--n-steps", type=int, default=0, help="0 = full T")
+    p.add_argument("--solver", default="ancestral",
+                   choices=["ancestral", "dpmpp"],
+                   help="dpmpp = DPM-Solver++(2M) ODE sampler (pair with "
+                        "--n-steps 10-25)")
+    p.add_argument("--solver-order", type=int, default=2, choices=[1, 2])
     p.add_argument("--polish", type=int, default=0)
     p.add_argument("--polish-t", type=float, default=0.08)
     p.add_argument("--polish-noise", type=float, default=1.0)
@@ -96,6 +101,7 @@ class GenerationService:
             polish_guide_scale=args.polish_guide_scale,
             target_fn=target_fn, guide_scale=guide_scale,
             cfg_weight=args.cfg_weight, context_set=args.context_set,
+            solver=args.solver, solver_order=args.solver_order,
         )
         self._lock = threading.Lock()
         # compile before accepting traffic (cache-hit restarts: seconds)
@@ -165,6 +171,7 @@ class GenerationService:
             "dataset": self.cfg.dataset,
             "batch_size": self.args.batch_size,
             "n_steps": self.args.n_steps or self.trainer.edm.T,
+            "solver": self.args.solver,
             "polish": self.args.polish,
             "warm_seconds": round(self.warm_seconds, 2),
         }

@@ -149,7 +149,10 @@ def dpmpp_core(
         sigma_to = NoiseSchedule.sigma(gamma_to)
         z_next = (sigma_to / sigma_from) * z - alpha_to * jnp.expm1(-h) * d
         z_next = edm._project_z(z_next, node_mask)
-        if target_fn is not None and scale:
+        # `scale` may be a traced scalar (the Sampler passes it as a jit
+        # argument) — gate on target_fn only; scale multiplies inside the
+        # energy, so scale=0 is the unguided trajectory.
+        if target_fn is not None:
             # the stride's posterior std, as in _posterior_mu_sigma
             _, sigma_ts, _ = NoiseSchedule.sigma_and_alpha_t_given_s(
                 gamma_from, gamma_to

@@ -78,7 +78,8 @@ class Sampler:
                     polish_t: float = 0.08, polish_noise: float = 1.0,
                     polish_steps: int = 12, polish_decay: float = 0.6,
                     polish_guide: str = "", polish_guide_scale: float = 0.0,
-                    has_context: bool = False, cfg_weight: float = 0.0):
+                    has_context: bool = False, cfg_weight: float = 0.0,
+                    solver: str = "ancestral", solver_order: int = 2):
         guide_fn = None
         if polish and polish_guide and polish_guide_scale:
             from gaudi_tpu.diffusion.priors import get_prior
@@ -106,10 +107,19 @@ class Sampler:
             # split only when polishing: the plain path must stay
             # key-for-key identical to sample_guidance(scale=0)
             k_s, k_p = (jax.random.split(key) if polish else (key, key))
-            x, h = edm.sample(
-                params, k_s, node_mask, edge_mask, std=std, n_steps=n_steps,
-                context=context,
-            )
+            if solver == "dpmpp":
+                from gaudi_tpu.diffusion.solvers import sample_dpmpp
+
+                x, h = sample_dpmpp(
+                    edm, params, k_s, node_mask, edge_mask, std=std,
+                    n_steps=n_steps or 25, order=solver_order,
+                    context=context,
+                )
+            else:
+                x, h = edm.sample(
+                    params, k_s, node_mask, edge_mask, std=std,
+                    n_steps=n_steps, context=context,
+                )
             if polish:
                 x, h = edm.polish(
                     params, k_p, x, h, node_mask, edge_mask,
@@ -151,7 +161,8 @@ class Sampler:
                polish: int = 0, polish_t: float = 0.08, polish_noise: float = 1.0,
                polish_steps: int = 12, polish_decay: float = 0.6,
                polish_guide: str = "", polish_guide_scale: float = 0.0,
-               context=None, cfg_weight: float = 0.0):
+               context=None, cfg_weight: float = 0.0,
+               solver: str = "ancestral", solver_order: int = 2):
         """Molecules from the (un)conditional model (reference
         sample_pos_edm :128-169).
 
@@ -162,8 +173,10 @@ class Sampler:
         diffusion/priors.py applied inside those rounds. For a conditional
         model (EDMConfig.context_features), `context` is the [B, C]
         normalized conditioning values and cfg_weight > 0 applies
-        classifier-free guidance (diffusion/cfg.py). (All beyond-reference
-        knobs.)
+        classifier-free guidance (diffusion/cfg.py). solver="dpmpp" swaps
+        the ancestral reverse chain for the DPM-Solver++ ODE integrator
+        (diffusion/solvers.py; n_steps defaults to 25 there, solver_order
+        1 = DDIM). (All beyond-reference knobs.)
         """
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
         has_ctx = context is not None
@@ -172,6 +185,7 @@ class Sampler:
             float(polish_noise), int(polish_steps), float(polish_decay),
             str(polish_guide), float(polish_guide_scale),
             has_ctx, float(cfg_weight) if has_ctx else 0.0,
+            str(solver), int(solver_order),
         )
         if has_ctx:
             return fn(params, key, n_nodes, jnp.asarray(context, jnp.float32))
@@ -197,15 +211,19 @@ class Sampler:
     def make_guided_sampler(
         self, target_function: TargetFn, std: float = 1.0, n_steps=None,
         has_context: bool = False, cfg_weight: float = 0.0,
+        solver: str = "ancestral", solver_order: int = 2,
     ) -> Callable:
         """Compile a guided sampler for a user target function
         (reference sample_guidance :172-224). Cached per
-        (fn, std, n_steps, has_context, cfg_weight) so repeated
+        (fn, std, n_steps, has_context, cfg_weight, solver) so repeated
         sample_guidance calls reuse the compiled program. For a conditional
         EDM the context conditions the denoiser inside every guided step
         (cfg_weight > 0 additionally applies the CFG combination — classifier
-        guidance and classifier-free guidance compose)."""
-        key = (target_function, float(std), n_steps, has_context, cfg_weight)
+        guidance and classifier-free guidance compose). solver="dpmpp"
+        integrates the PF-ODE with the same bounded post-step guidance
+        moves (diffusion/solvers.py)."""
+        key = (target_function, float(std), n_steps, has_context, cfg_weight,
+               solver, solver_order)
         cached = getattr(self, "_guided_cache", None)
         if cached is None:
             cached = self._guided_cache = {}
@@ -227,17 +245,26 @@ class Sampler:
                 from gaudi_tpu.diffusion.cfg import build_context
 
                 context = build_context(y_ctx, node_mask)
-            x, h = edm.sample_guidance(
-                params,
-                key,
-                target_function,
-                node_mask,
-                edge_mask,
-                scale=scale,
-                std=std,
-                n_steps=n_steps,
-                context=context,
-            )
+            if solver == "dpmpp":
+                from gaudi_tpu.diffusion.solvers import sample_dpmpp
+
+                x, h = sample_dpmpp(
+                    edm, params, key, node_mask, edge_mask, std=std,
+                    n_steps=n_steps or 25, order=solver_order,
+                    context=context, target_fn=target_function, scale=scale,
+                )
+            else:
+                x, h = edm.sample_guidance(
+                    params,
+                    key,
+                    target_function,
+                    node_mask,
+                    edge_mask,
+                    scale=scale,
+                    std=std,
+                    n_steps=n_steps,
+                    context=context,
+                )
             return x, h, node_mask, edge_mask
 
         sh = self._shardings()
@@ -265,11 +292,14 @@ class Sampler:
         n_steps=None,
         context=None,
         cfg_weight: float = 0.0,
+        solver: str = "ancestral",
+        solver_order: int = 2,
     ):
         has_ctx = context is not None
         fn = self.make_guided_sampler(
             target_function, std, n_steps, has_ctx,
             float(cfg_weight) if has_ctx else 0.0,
+            str(solver), int(solver_order),
         )
         n_nodes = jnp.asarray(nodesxsample, jnp.int32)
         if has_ctx:
