@@ -14,7 +14,10 @@ per minute (BASELINE.json target for a TPU v4-8).
 
 Env knobs: GAUDI_BENCH_BATCH (default 512), GAUDI_BENCH_T (default 1000),
 GAUDI_BENCH_DTYPE (default bfloat16 — the production serving config; float32
-for exact-parity runs), GAUDI_BENCH_PLATFORM (force a JAX platform, e.g. cpu).
+for exact-parity runs), GAUDI_BENCH_PLATFORM (force a JAX platform, e.g. cpu),
+GAUDI_BENCH_SOLVER=dpmpp + GAUDI_BENCH_STEPS (default 25) to measure the
+DPM-Solver++ ODE sampler instead of the reference-semantics ancestral chain
+(metric name changes accordingly; the driver headline stays the default).
 """
 
 from __future__ import annotations
@@ -80,11 +83,25 @@ def main():
     def target_fn(zt, nm, em, t):
         return predictor.apply(pred_params, zt, nm, em, t)[:, 0]
 
-    @jax.jit
-    def run(params, key):
-        return edm.sample_guidance(
-            params, key, target_fn, node_mask, edge_mask, scale=0.6, std=1.0
-        )
+    solver = os.environ.get("GAUDI_BENCH_SOLVER", "ancestral")
+    ode_steps = int(os.environ.get("GAUDI_BENCH_STEPS", 25))
+    if solver == "dpmpp":
+        from gaudi_tpu.diffusion.solvers import sample_dpmpp
+
+        @jax.jit
+        def run(params, key):
+            return sample_dpmpp(
+                edm, params, key, node_mask, edge_mask, std=1.0,
+                n_steps=ode_steps, target_fn=target_fn, scale=0.6,
+            )
+    else:
+
+        @jax.jit
+        def run(params, key):
+            return edm.sample_guidance(
+                params, key, target_fn, node_mask, edge_mask, scale=0.6,
+                std=1.0,
+            )
 
     # compile + warm up
     lowered = run.lower(params, key)
@@ -107,7 +124,8 @@ def main():
     # GAUDI_TPU_PEAK_FLOPS for other parts)
     from gaudi_tpu.utils.flops import guided_step_flops
 
-    flops = timesteps * guided_step_flops(batch, max_nodes, 192, 9, 196, 12)
+    eff_steps = ode_steps if solver == "dpmpp" else timesteps
+    flops = eff_steps * guided_step_flops(batch, max_nodes, 192, 9, 196, 12)
     peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 197e12))
     mfu = flops / secs / peak
     mfu_txt = (
@@ -117,7 +135,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "guided_mol_per_s",
+                "metric": "guided_mol_per_s" if solver != "dpmpp"
+                else "guided_dpmpp_mol_per_s",
                 "value": round(mol_per_s, 3),
                 "unit": "mol/s",
                 "vs_baseline": round(mol_per_s / north_star, 3),
@@ -126,7 +145,8 @@ def main():
     )
     # context to stderr so stdout stays one JSON line
     print(
-        f"[bench] batch={batch} T={timesteps} dtype={dtype} "
+        f"[bench] batch={batch} T={timesteps} solver={solver} "
+        f"steps={eff_steps} dtype={dtype} "
         f"devices={jax.devices()} "
         f"wall={secs:.2f}s{mfu_txt}",
         file=sys.stderr,
