@@ -272,6 +272,40 @@ class TestSamplerProperties:
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
 
+    def test_orientation_mode_invariants(self):
+        """hetro-style doubled masks (ring rows + orientation rows, with the
+        reference's dead-slot identity quirk) flow through the ODE sampler:
+        finite output, dead slots zero, CoM-free over live rows."""
+        from gaudi_tpu.sampling import Sampler
+
+        model = EGNNDynamics(
+            in_node_nf=K, hidden_nf=16, n_layers=2, inv_sublayers=1
+        )
+        counts = jnp.array([3, 5], jnp.int32)
+        node_mask, edge_mask = M.build_masks(counts, N, orientation=True)
+        edm = EDM(
+            apply_fn=lambda p, t, xh, nm, em, ctx=None: model.apply(
+                p, t, xh, nm, em
+            ),
+            schedule=_schedule(),
+            in_node_nf=K,
+        )
+        zdum = M.sample_combined_noise(
+            jax.random.PRNGKey(0), B, 2 * N, 3, K, node_mask
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((B, 1)), zdum, node_mask,
+            edge_mask,
+        )
+        s = Sampler(edm, N, orientation=True)
+        x, h, nm, _ = s.sample(
+            params, jax.random.PRNGKey(4), counts, n_steps=6, solver="dpmpp"
+        )
+        assert x.shape == (B, 2 * N, 3)
+        assert np.isfinite(np.asarray(x)).all()
+        assert float(jnp.abs(x * (1.0 - nm)).max()) == 0.0
+        assert float(M.mean_zero_error(x, nm)) < 1e-4
+
     def test_padded_slots_stay_zero(self):
         """The solver preserves the padded-zero invariant every masked op
         assumes (remove_mean_with_mask's documented precondition), so the
