@@ -99,11 +99,14 @@ def dpmpp_core(
     target_fn: Optional[TargetFn] = None,
     scale: float = 0.0,
     max_grad_norm: float = 10.0,
-) -> jax.Array:
+    collect_frames: bool = False,
+):
     """Integrate the probability-flow ODE from z at t=T down to t=0.
 
     Returns z_0 (normalized feature space); decode with
     `edm.sample_xh_given_z0`. One denoiser call per step (`n_steps` total).
+    With collect_frames, returns (z_0, frames) where frames is the
+    [n_steps, B, N, 3+K] unnormalized trajectory (for chain GIFs).
     """
     if order not in (1, 2):
         raise ValueError(f"order must be 1 or 2, got {order}")
@@ -163,10 +166,15 @@ def dpmpp_core(
                 edm, z_next, t_to, sigma_step, node_mask, edge_mask,
                 target_fn, scale, max_grad_norm,
             )
-        return (z_next, x0, lam_from, jnp.zeros(())), None
+        frame = edm.unnormalize_z(z_next, node_mask) if collect_frames else None
+        return (z_next, x0, lam_from, jnp.zeros(())), frame
 
     init = (z, jnp.zeros_like(z), lam(from_idx[0]), jnp.ones(()))
-    (z, _, _, _), _ = jax.lax.scan(body, init, (from_idx, to_idx, is_last))
+    (z, _, _, _), frames = jax.lax.scan(
+        body, init, (from_idx, to_idx, is_last)
+    )
+    if collect_frames:
+        return z, frames
     return z
 
 
@@ -202,3 +210,35 @@ def sample_dpmpp(
     x, h = edm.sample_xh_given_z0(params, k_final, z, node_mask, edge_mask, context)
     x = M.remove_mean_with_mask(x, node_mask)
     return x, h
+
+
+def sample_dpmpp_chain(
+    edm: EDM,
+    params,
+    key: jax.Array,
+    node_mask: jax.Array,
+    edge_mask: jax.Array,
+    std: float = 1.0,
+    n_steps: int = 25,
+    order: int = 2,
+    context=None,
+) -> jax.Array:
+    """ODE-sampler counterpart of `EDM.sample_chain` for visualization.
+
+    Returns [n_steps + 1, B, N, 3+K] unnormalized frames, frame 0 = the
+    final decoded sample (matching sample_chain's ordering contract so
+    `Sampler.sample_chain` reverses it identically)."""
+    b, n = node_mask.shape[0], node_mask.shape[1]
+    k_init, k_final = jax.random.split(key)
+    z = M.sample_combined_noise(
+        k_init, b, n, edm.n_dims, edm.in_node_nf, node_mask, std
+    )
+    z, frames = dpmpp_core(
+        edm, params, z, node_mask, edge_mask, n_steps, order=order,
+        context=context, collect_frames=True,
+    )
+    x, h = edm.sample_xh_given_z0(params, k_final, z, node_mask, edge_mask, context)
+    xh_final = jnp.concatenate([x, h], axis=-1)
+    # frames are noisiest-first along the scan; flip so frame 0 = final
+    chain = jnp.concatenate([xh_final[None], frames[::-1]], axis=0)
+    return chain

@@ -140,7 +140,8 @@ class Sampler:
 
     @lru_cache(maxsize=8)
     def _jit_chain(self, std: float, keep_frames: int, n_steps=None,
-                   has_context: bool = False):
+                   has_context: bool = False, solver: str = "ancestral",
+                   solver_order: int = 2):
         def fn(params, key, n_nodes, y_ctx=None):
             node_mask, edge_mask = M.build_masks(
                 n_nodes, self.max_nodes, self.orientation
@@ -150,6 +151,14 @@ class Sampler:
                 from gaudi_tpu.diffusion.cfg import build_context
 
                 context = build_context(y_ctx, node_mask)
+            if solver == "dpmpp":
+                from gaudi_tpu.diffusion.solvers import sample_dpmpp_chain
+
+                return sample_dpmpp_chain(
+                    self.edm, params, key, node_mask, edge_mask, std=std,
+                    n_steps=n_steps or 25, order=solver_order,
+                    context=context,
+                )
             return self.edm.sample_chain(
                 params, key, node_mask, edge_mask, keep_frames=keep_frames,
                 std=std, n_steps=n_steps, context=context,
@@ -194,14 +203,17 @@ class Sampler:
     def sample_chain(
         self, params, key, n_nodes: int = 10, keep_frames: int = 100,
         std: float = 0.7, n_steps=None, context=None,
+        solver: str = "ancestral", solver_order: int = 2,
     ):
         """Single-molecule denoising trajectory for visualization
-        (reference sample_chain_pos :65-116). Returns [keep_frames, N', 3+K]
-        oldest-noise-first. `context`: [1, C] conditioning values for a
-        conditional model."""
+        (reference sample_chain_pos :65-116). Returns [frames, N', 3+K]
+        oldest-noise-first (keep_frames frames; for solver="dpmpp" the
+        trajectory has n_steps+1 frames and keep_frames is ignored).
+        `context`: [1, C] conditioning values for a conditional model."""
         counts = jnp.full((1,), n_nodes, jnp.int32)
         has_ctx = context is not None
-        fn = self._jit_chain(float(std), int(keep_frames), n_steps, has_ctx)
+        fn = self._jit_chain(float(std), int(keep_frames), n_steps, has_ctx,
+                             str(solver), int(solver_order))
         if has_ctx:
             chain = fn(params, key, counts, jnp.asarray(context, jnp.float32))
         else:

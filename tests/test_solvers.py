@@ -306,6 +306,26 @@ class TestSamplerProperties:
         assert float(jnp.abs(x * (1.0 - nm)).max()) == 0.0
         assert float(M.mean_zero_error(x, nm)) < 1e-4
 
+    def test_chain_frames(self):
+        """sample_chain(solver="dpmpp") returns an oldest-noise-first
+        trajectory whose final frame matches the Sampler contract (finite,
+        masked, one-hot h on real nodes)."""
+        from gaudi_tpu.sampling import Sampler
+
+        edm, params, node_mask, edge_mask = _tiny_model()
+        s = Sampler(edm, N)
+        chain = s.sample_chain(
+            params, jax.random.PRNGKey(6), n_nodes=4, n_steps=7,
+            solver="dpmpp",
+        )
+        assert chain.shape[0] == 8  # n_steps + 1 frames
+        assert np.isfinite(np.asarray(chain)).all()
+        final = np.asarray(chain[-1])  # oldest-first => last = decoded x,h
+        h = final[:, 3:]
+        live = h.sum(-1) > 0.5
+        assert live.sum() == 4
+        np.testing.assert_allclose(h[live].sum(-1), 1.0, atol=1e-5)
+
     def test_padded_slots_stay_zero(self):
         """The solver preserves the padded-zero invariant every masked op
         assumes (remove_mean_with_mask's documented precondition), so the
