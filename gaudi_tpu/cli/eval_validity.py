@@ -24,8 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=0, help="0 = n_samples")
     p.add_argument("--std", type=float, default=0.7)
     p.add_argument("--n-steps", type=int, default=0,
-                   help="0 = full T reverse steps (reference); K < T uses "
-                        "the strided few-step sampler (~T/K speedup)")
+                   help="0 = full T reverse steps (reference; 25 ODE steps "
+                        "under --solver dpmpp); K < T uses the strided "
+                        "few-step sampler (~T/K speedup)")
     p.add_argument("--solver", default="ancestral",
                    choices=["ancestral", "dpmpp"],
                    help="dpmpp = DPM-Solver++(2M) PF-ODE integrator "
@@ -381,7 +382,8 @@ def main(argv=None):
         )
         chain = sampler.sample_chain(
             trainer.sampling_params, jax.random.PRNGKey(args.seed + 1),
-            std=args.std, context=chain_ctx,
+            std=args.std, n_steps=args.n_steps or None, context=chain_ctx,
+            solver=args.solver, solver_order=args.solver_order,
         )
         plot_chain(np.asarray(chain), f"{args.exp_dir}/eval/chain.gif", cfg.dataset)
 

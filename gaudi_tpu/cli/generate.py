@@ -43,8 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--n-steps 10-25)")
     p.add_argument("--solver-order", type=int, default=2, choices=[1, 2])
     p.add_argument("--n-steps", type=int, default=0,
-                   help="0 = full T reverse steps (reference); K < T uses "
-                        "the strided few-step sampler (~T/K speedup)")
+                   help="0 = full T reverse steps (reference; 25 ODE steps "
+                        "under --solver dpmpp); K < T uses the strided "
+                        "few-step sampler (~T/K speedup)")
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--polish", type=int, default=0,
                    help="SDEdit manifold-projection rounds after guidance "

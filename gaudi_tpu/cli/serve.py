@@ -42,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=256,
                    help="compiled device batch; requests are padded up to it")
     p.add_argument("--std", type=float, default=0.7)
-    p.add_argument("--n-steps", type=int, default=0, help="0 = full T")
+    p.add_argument("--n-steps", type=int, default=0,
+                   help="0 = full T (25 ODE steps under --solver dpmpp)")
     p.add_argument("--solver", default="ancestral",
                    choices=["ancestral", "dpmpp"],
                    help="dpmpp = DPM-Solver++(2M) ODE sampler (pair with "
@@ -136,15 +137,23 @@ class GenerationService:
                     while len(out) < n and rounds < max_rounds:
                         rounds += 1
                         need = n - len(out)
-                        mols, _ = self.draw(need, seed + 7919 * rounds)
+                        # the device computes whole static-shape batches
+                        # regardless of how many we keep — judge an
+                        # oversampled pool so each round's yield scales
+                        # with the batch it already paid for (same pattern
+                        # as eval_validity --reject)
+                        n_fresh = min(
+                            self.args.batch_size, max(4 * need, 32)
+                        )
+                        mols, _ = self.draw(n_fresh, seed + 7919 * rounds)
                         batches += (
-                            need + self.args.batch_size - 1
+                            n_fresh + self.args.batch_size - 1
                         ) // self.args.batch_size
                         flags = self._judge(mols)
                         out += [
                             (m[0], m[1], True)
                             for m, v in zip(mols, flags) if v
-                        ]
+                        ][:need]
                     out = out[:n]
             else:
                 out = [(m[0], m[1], None) for m in mols]
@@ -170,7 +179,9 @@ class GenerationService:
             "exp_dir": self.args.exp_dir,
             "dataset": self.cfg.dataset,
             "batch_size": self.args.batch_size,
-            "n_steps": self.args.n_steps or self.trainer.edm.T,
+            "n_steps": self.args.n_steps or (
+                25 if self.args.solver == "dpmpp" else self.trainer.edm.T
+            ),
             "solver": self.args.solver,
             "polish": self.args.polish,
             "warm_seconds": round(self.warm_seconds, 2),
@@ -208,12 +219,18 @@ def create_server(args):
                 n = int(req.get("n", 1))
                 if not 1 <= n <= 100_000:
                     raise ValueError(f"n out of range: {n}")
+                max_rounds = int(req.get("max_rounds", 3))
+                if not 0 <= max_rounds <= 16:
+                    # each round is a full compiled device batch under the
+                    # service lock — an unbounded value lets one request
+                    # pin the chip indefinitely
+                    raise ValueError(f"max_rounds out of range: {max_rounds}")
                 result = service.generate(
                     n,
                     seed=int(req.get("seed", 0)),
                     judge=bool(req.get("judge", False)),
                     only_valid=bool(req.get("only_valid", False)),
-                    max_rounds=int(req.get("max_rounds", 3)),
+                    max_rounds=max_rounds,
                 )
                 self._reply(200, result)
             except Exception as e:  # malformed request must not kill the server

@@ -161,9 +161,13 @@ def dpmpp_core(
                 gamma_from, gamma_to
             )
             sigma_step = sigma_ts * sigma_to / sigma_from
-            t_to = jnp.full((b, 1), i_to, jnp.float32) / edm.T
+            # The ancestral guided step evaluates the target at the FROM
+            # time on the post-step state (reference quirk,
+            # en_diffusion.py:900: energy(zs, t) with t the pre-step time);
+            # reuse t_from here so --guide-scale is calibrated identically
+            # across solvers on the same grid.
             z_next = _guidance_move(
-                edm, z_next, t_to, sigma_step, node_mask, edge_mask,
+                edm, z_next, t_from, sigma_step, node_mask, edge_mask,
                 target_fn, scale, max_grad_norm,
             )
         frame = edm.unnormalize_z(z_next, node_mask) if collect_frames else None

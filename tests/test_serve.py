@@ -106,6 +106,12 @@ def test_bad_request_and_unknown_path(server):
     assert status == 400 and "error" in out
     status, out = _post(url, {}, path="/nope")
     assert status == 404 and "error" in out
+    # unbounded rejection loops are rejected up front (each round holds
+    # the device lock for a full compiled batch)
+    status, out = _post(
+        url, {"n": 2, "only_valid": True, "max_rounds": 10**9}
+    )
+    assert status == 400 and "max_rounds" in out["error"]
     # the server survives bad requests
     status, out = _post(url, {"n": 2, "seed": 1})
     assert status == 200 and out["n_returned"] == 2
