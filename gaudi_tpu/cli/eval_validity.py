@@ -140,12 +140,20 @@ def make_drawer(
 
             pg_fn = get_prior(polish_guide)
 
-        from gaudi_tpu.diffusion.cfg import build_context
+        from gaudi_tpu.diffusion.cfg import build_context, with_cfg
+
+        # polish must denoise with the SAME score the sampler used —
+        # including the CFG combination (the unguided path wraps edm
+        # inside Sampler._jit_sample; mirror it here)
+        polish_edm = (
+            with_cfg(trainer.edm, cfg_weight)
+            if conditional and cfg_weight else trainer.edm
+        )
 
         @jax.jit
         def polish_fn(params, key, x, h, nm, em, y_ctx=None):
             ctx = build_context(y_ctx, nm) if conditional else None
-            return trainer.edm.polish(
+            return polish_edm.polish(
                 params, key, x, h, nm, em, t_start=polish_t, rounds=polish,
                 noise_scale=polish_noise, t_decay=polish_decay,
                 guide_fn=pg_fn, guide_scale=polish_guide_scale, context=ctx,

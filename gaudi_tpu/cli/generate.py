@@ -210,14 +210,18 @@ def main(argv=None):
             guide_fn = get_prior(args.polish_guide)
 
         node_ctx = None
+        polish_edm = edm_trainer.edm
         if conditional:
-            from gaudi_tpu.diffusion.cfg import build_context
+            from gaudi_tpu.diffusion.cfg import build_context, with_cfg
 
             node_ctx = build_context(jnp.asarray(ctx, jnp.float32), node_mask)
+            # polish with the same CFG-combined score the sampler used
+            if args.cfg_weight:
+                polish_edm = with_cfg(edm_trainer.edm, args.cfg_weight)
 
         @jax.jit
         def _polish(params, key, x, h):
-            return edm_trainer.edm.polish(
+            return polish_edm.polish(
                 params, key, x, h, node_mask, edge_mask,
                 t_start=args.polish_t, rounds=args.polish,
                 noise_scale=args.polish_noise, t_decay=args.polish_decay,

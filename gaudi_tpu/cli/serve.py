@@ -126,37 +126,41 @@ class GenerationService:
         batches = 0
         rounds = 0
         out = []  # (positions, types, valid_or_None)
+        # the lock only guards device execution — host-side judging runs
+        # outside it so a concurrent request can start sampling while this
+        # one judges (the chip is the serialized resource, not the CPU)
         with self._lock:
             mols, _ = self.draw(n, seed)
-            batches += (n + self.args.batch_size - 1) // self.args.batch_size
-            if judge or only_valid:
-                flags = self._judge(mols)
-                out = [(m[0], m[1], bool(v)) for m, v in zip(mols, flags)]
-                if only_valid:
-                    out = [m for m in out if m[2]]
-                    while len(out) < n and rounds < max_rounds:
-                        rounds += 1
-                        need = n - len(out)
-                        # the device computes whole static-shape batches
-                        # regardless of how many we keep — judge an
-                        # oversampled pool so each round's yield scales
-                        # with the batch it already paid for (same pattern
-                        # as eval_validity --reject)
-                        n_fresh = min(
-                            self.args.batch_size, max(4 * need, 32)
-                        )
+        batches += (n + self.args.batch_size - 1) // self.args.batch_size
+        if judge or only_valid:
+            flags = self._judge(mols)
+            out = [(m[0], m[1], bool(v)) for m, v in zip(mols, flags)]
+            if only_valid:
+                out = [m for m in out if m[2]]
+                while len(out) < n and rounds < max_rounds:
+                    rounds += 1
+                    need = n - len(out)
+                    # the device computes whole static-shape batches
+                    # regardless of how many we keep — judge an
+                    # oversampled pool so each round's yield scales
+                    # with the batch it already paid for (same pattern
+                    # as eval_validity --reject)
+                    n_fresh = min(
+                        self.args.batch_size, max(4 * need, 32)
+                    )
+                    with self._lock:
                         mols, _ = self.draw(n_fresh, seed + 7919 * rounds)
-                        batches += (
-                            n_fresh + self.args.batch_size - 1
-                        ) // self.args.batch_size
-                        flags = self._judge(mols)
-                        out += [
-                            (m[0], m[1], True)
-                            for m, v in zip(mols, flags) if v
-                        ][:need]
-                    out = out[:n]
-            else:
-                out = [(m[0], m[1], None) for m in mols]
+                    batches += (
+                        n_fresh + self.args.batch_size - 1
+                    ) // self.args.batch_size
+                    flags = self._judge(mols)
+                    out += [
+                        (m[0], m[1], True)
+                        for m, v in zip(mols, flags) if v
+                    ][:need]
+                out = out[:n]
+        else:
+            out = [(m[0], m[1], None) for m in mols]
         return {
             "molecules": [
                 {
@@ -225,16 +229,23 @@ def create_server(args):
                     # service lock — an unbounded value lets one request
                     # pin the chip indefinitely
                     raise ValueError(f"max_rounds out of range: {max_rounds}")
+                seed = int(req.get("seed", 0))
+                judge = bool(req.get("judge", False))
+                only_valid = bool(req.get("only_valid", False))
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                # malformed request: client error, don't kill the server
+                self._reply(400, {"error": str(e)})
+                return
+            try:
                 result = service.generate(
-                    n,
-                    seed=int(req.get("seed", 0)),
-                    judge=bool(req.get("judge", False)),
-                    only_valid=bool(req.get("only_valid", False)),
+                    n, seed=seed, judge=judge, only_valid=only_valid,
                     max_rounds=max_rounds,
                 )
                 self._reply(200, result)
-            except Exception as e:  # malformed request must not kill the server
-                self._reply(400, {"error": str(e)})
+            except Exception as e:
+                # device/judge failure mid-request: a server fault (500),
+                # so well-behaved clients know to retry
+                self._reply(500, {"error": str(e)})
 
         def log_message(self, fmt, *a):  # quiet access log
             pass

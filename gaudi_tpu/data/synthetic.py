@@ -474,6 +474,11 @@ def generate_dataset(
         hetero_plan = {}
         if dataset == "hetro":
             hetero_plan = _plan_hetero(cells, rng, hetero_prob)
+        # dedup key depends only on the patch + hetero plan — reject
+        # duplicates BEFORE the expensive deform/oracle-filter loop
+        canon = (tuple(cells), tuple(sorted(hetero_plan.items())))
+        if canon in seen:
+            continue
         mol, cell_vertices = _patch_to_molecule(
             cells, hetero_plan or None, return_cell_vertices=True
         )
@@ -533,9 +538,6 @@ def generate_dataset(
             continue
         mol.coords = accepted
 
-        canon = (tuple(cells), tuple(sorted(hetero_plan.items())))
-        if canon in seen:
-            continue
         seen.add(canon)
 
         save_xyz(os.path.join(xyz_dir, name + ".xyz"), mol, comment=name)

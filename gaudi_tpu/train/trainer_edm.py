@@ -46,6 +46,14 @@ def context_columns(cfg: EDMConfig) -> list:
 
 def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
     n_ctx = len(context_columns(cfg))
+    if n_ctx and cfg.model == "gnn_dynamics":
+        # the DenseGNN output has no context slot (models/egnn.py:480-500);
+        # the shared context slice would chop real channels — fail at
+        # construction instead of with an opaque shape error inside loss
+        raise ValueError(
+            "context_features require model='egnn_dynamics' "
+            "(gnn_dynamics has no conditioning channel)"
+        )
     model = EGNNDynamics(
         in_node_nf=in_node_nf,
         context_node_nf=n_ctx + 1 if n_ctx else 0,  # +1: CFG indicator

@@ -110,11 +110,19 @@ class PredictorTrainer:
 
         self._orientation = cfg.dataset == "hetro"
         self._max_nodes = cfg.max_nodes
-        # bce mode: y arrives normalized; the decision midpoint 0.5 maps to
-        # (0.5 - mean) / std per target (config.py PredictorConfig.loss)
-        self._y_mid = jnp.asarray(
-            (0.5 - self.train_ds.mean) / self.train_ds.std
-        ) if getattr(cfg, "loss", "l1") == "bce" else None
+        # bce mode: the raw-space decision midpoint 0.5 maps to
+        # (0.5 - mean) / std per target ONLY when the dataset normalizes
+        # targets; with normalize=False y arrives in raw units and the
+        # midpoint stays 0.5
+        if getattr(cfg, "loss", "l1") == "bce":
+            if self.train_ds.cfg.normalize:
+                self._y_mid = jnp.asarray(
+                    (0.5 - self.train_ds.mean) / self.train_ds.std
+                )
+            else:
+                self._y_mid = jnp.full((len(self.train_ds.mean),), 0.5)
+        else:
+            self._y_mid = None
 
         if mesh is not None:
             bs = batch_sharding(mesh)

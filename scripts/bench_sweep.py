@@ -96,7 +96,9 @@ def cmd_sweep(args):
         from gaudi_tpu.utils.flops import guided_step_flops
 
         flops = args.T * guided_step_flops(batch, 11, 192, 9, 196, 12)
-        peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 394e12))
+        # 197 TFLOP/s = v5e bf16 peak (394 is the int8 rate) — keep in
+        # sync with bench.py
+        peak = float(os.environ.get("GAUDI_TPU_PEAK_FLOPS", 197e12))
         rec["tflops_per_s"] = round(flops / secs / 1e12, 2)
         rec["mfu_floor"] = round(flops / secs / peak, 4)
         print(json.dumps(rec), flush=True)

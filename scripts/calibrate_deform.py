@@ -56,11 +56,15 @@ def main():
         centers = rg.centers
         types = np.asarray(rg.ring_types)
         if args.dataset == "hetro":
-            ori = len(names) - 1
-            pos = np.concatenate([centers, rg.orientation_points], axis=0) \
-                if hasattr(rg, "orientation_points") else None
-            # fall back: skip hetro assembling here
-            mols.append((centers, types))
+            # the stability checker expects orientation-doubled input
+            # ([rings..., markers...]); use each ring's real orientation
+            # handle (mean of its hetero-atom candidates) as the marker
+            ori_idx = len(names) - 1
+            markers = np.stack([o.mean(axis=0) for o in rg.orientations])
+            mols.append((
+                np.concatenate([centers, markers], axis=0),
+                np.concatenate([types, np.full(len(types), ori_idx)], axis=0),
+            ))
         else:
             mols.append((centers, types))
         _, adj = positions2adj(centers[None], types[None], 0.1, args.dataset)

@@ -118,6 +118,16 @@ def main():
         t_bias_cap=args.t_bias_cap,
     )
     trainer = EDMTrainer(cfg)
+    if getattr(trainer, "_ctx_idx", None) is None and (
+        args.eval_cfg_weight or args.eval_context_set
+    ):
+        # fail loudly before burning hours: on an unconditional model
+        # draw_context returns None and Sampler zeroes cfg_weight, so the
+        # flags would silently produce plain unconditional round evals
+        raise SystemExit(
+            "--eval-cfg-weight/--eval-context-set require "
+            "--context-features (this model is unconditional)"
+        )
     cfg.save()
     start_step = int(trainer.state.step)
     print(

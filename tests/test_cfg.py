@@ -245,3 +245,45 @@ def test_conditional_sampling_sharded_matches_single(cond_exp):
     np.testing.assert_allclose(
         np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-5
     )
+
+
+def test_guided_polish_wraps_edm_with_cfg(cond_exp, monkeypatch):
+    """eval_validity's guided+polish path must polish through the
+    CFG-combined score (regression: cfg_weight was silently dropped in
+    the polish rounds, diverging from the unguided path which wraps the
+    EDM inside Sampler._jit_sample)."""
+    import gaudi_tpu.diffusion.cfg as cfgmod
+    from gaudi_tpu.cli.eval_validity import make_drawer
+
+    _, cfg = cond_exp
+    tr = _trainer(cfg)
+    calls = []
+    orig = cfgmod.with_cfg
+
+    def spy(edm, w):
+        calls.append(float(w))
+        return orig(edm, w)
+
+    monkeypatch.setattr(cfgmod, "with_cfg", spy)
+
+    def target_fn(zt, nm, em, t):
+        return (zt[..., :3] ** 2).sum(axis=(1, 2))
+
+    # polish_edm is wrapped eagerly at drawer-construction time; the
+    # sampler's own wrap happens lazily at first draw — so the calls
+    # recorded here isolate the polish path
+    make_drawer(
+        tr, batch_size=4, std=0.7, n_steps=5, polish=1,
+        target_fn=target_fn, guide_scale=0.1, cfg_weight=0.7,
+    )
+    assert calls == [0.7]
+
+
+def test_context_rejected_for_gnn_dynamics(cond_exp):
+    """context_features + model='gnn_dynamics' must fail at construction
+    (the DenseGNN has no conditioning channel; the context slice would
+    silently chop real feature channels)."""
+    _, cfg = cond_exp
+    cfg2 = dataclasses.replace(cfg, model="gnn_dynamics", name="tiny-gnn")
+    with pytest.raises(ValueError, match="gnn_dynamics"):
+        _trainer(cfg2)

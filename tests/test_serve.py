@@ -149,3 +149,23 @@ def test_guided_server(server, tmp_path_factory):
     srv.shutdown()
     assert status == 200 and out["n_returned"] == 2
     assert all(isinstance(m["valid"], bool) for m in out["molecules"])
+
+
+def test_internal_fault_maps_to_500(server):
+    """Device/judge failures mid-request are server faults (500), not
+    client errors (regression: the blanket handler replied 400)."""
+    url, service = server
+    orig = service.generate
+
+    def boom(*a, **k):
+        raise RuntimeError("device fell over")
+
+    service.generate = boom
+    try:
+        status, out = _post(url, {"n": 1})
+        assert status == 500 and "device fell over" in out["error"]
+    finally:
+        service.generate = orig
+    # and the server still works afterwards
+    status, out = _post(url, {"n": 1, "seed": 2})
+    assert status == 200 and out["n_returned"] == 1

@@ -346,3 +346,25 @@ class TestBCEPredictor:
         )
         loss = tr.train_epoch(np.random.default_rng(0), jax.random.PRNGKey(0))
         assert np.isfinite(loss)
+
+    def test_bce_midpoint_raw_when_unnormalized(self, tmp_path):
+        """normalize=False: y stays in raw 0/1 units, so the decision
+        midpoint must be 0.5, not (0.5-mean)/std (regression)."""
+        from gaudi_tpu.data.synthetic import generate_dataset
+        from gaudi_tpu.train.trainer_predictor import PredictorTrainer
+
+        csv = generate_dataset(str(tmp_path), "peri", n_molecules=24,
+                               max_rings=7, seed=1, labeled=True,
+                               roundtrip_trials=1)
+        cfg = PredictorConfig(
+            dataset="peri", csv_file=csv, xyz_root=str(tmp_path) + "/peri-xyz",
+            max_nodes=7, target_features="VALID", n_layers=1, nf=16,
+            batch_size=8, num_epochs=2, save_dir=str(tmp_path) + "/ps",
+            name="bce-raw", loss="bce", normalize=False,
+        )
+        tr = PredictorTrainer(cfg)
+        np.testing.assert_allclose(np.asarray(tr._y_mid), 0.5)
+        y = np.asarray(tr.train_ds.collate(np.arange(8))["y"])
+        np.testing.assert_array_equal(
+            (y > np.asarray(tr._y_mid)).astype(float), y.round()
+        )
