@@ -118,7 +118,8 @@ def make_drawer(
     from gaudi_tpu.sampling import Sampler, to_molecule_list
 
     cfg = trainer.cfg
-    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro", mesh=mesh)
+    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro",
+                      mesh=mesh, dataset=cfg.dataset)
 
     guided = target_fn is not None and guide_scale
     # Conditional model (EDMConfig.context_features): contexts are drawn from
@@ -138,7 +139,11 @@ def make_drawer(
         if polish_guide and polish_guide_scale:
             from gaudi_tpu.diffusion.priors import get_prior
 
-            pg_fn = get_prior(polish_guide)
+            pg_fn = get_prior(
+                polish_guide, dataset=cfg.dataset, max_nodes=cfg.max_nodes,
+                orientation=cfg.dataset == "hetro",
+                norm_x=trainer.edm.norm_values[0],
+            )
 
         from gaudi_tpu.diffusion.cfg import build_context, with_cfg
 
@@ -381,7 +386,8 @@ def main(argv=None):
         from gaudi_tpu.sampling import Sampler
         from gaudi_tpu.utils.plotting import plot_chain
 
-        sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
+        sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro",
+                          dataset=cfg.dataset)
         from gaudi_tpu.cli.common import draw_context
 
         chain_ctx = draw_context(

@@ -147,7 +147,8 @@ def main(argv=None):
     )
 
     orientation = edm_cfg.dataset == "hetro"
-    sampler = Sampler(edm_trainer.edm, edm_cfg.max_nodes, orientation)
+    sampler = Sampler(edm_trainer.edm, edm_cfg.max_nodes, orientation,
+                      dataset=edm_cfg.dataset)
     counts = np.full(args.batch_size, args.n_nodes, np.int64)
     key = jax.random.PRNGKey(args.seed)
 
@@ -207,7 +208,11 @@ def main(argv=None):
         if args.polish_guide and args.polish_guide_scale:
             from gaudi_tpu.diffusion.priors import get_prior
 
-            guide_fn = get_prior(args.polish_guide)
+            guide_fn = get_prior(
+                args.polish_guide, dataset=edm_cfg.dataset,
+                max_nodes=edm_cfg.max_nodes, orientation=orientation,
+                norm_x=edm_trainer.edm.norm_values[0],
+            )
 
         node_ctx = None
         polish_edm = edm_trainer.edm

@@ -42,17 +42,124 @@ def planarity_energy(z: jax.Array, node_mask: jax.Array, edge_mask=None,
     return jnp.linalg.eigvalsh(cov)[:, 0]
 
 
-PRIORS = {"planarity": planarity_energy}
+def ring_angles3_energy(dataset: str = "cata", max_nodes=None,
+                        orientation: bool = False, norm_x: float = 3.0,
+                        window_tol: float = 0.05, adj_tol: float = 0.1,
+                        adj_sharpness: float = 0.03):
+    """Factory: differentiable 3-ring-angle window energy for a dataset.
+
+    The stability checker (eval_chem/stability.py check_angels3, mirroring
+    reference analyze/analyze.py:21-36) requires every bonded ring triplet's
+    center angle to fall inside one of the center-type's empirical windows.
+    This builds the soft/differentiable counterpart: bonded-ness becomes a
+    product of distance-window sigmoids (sharpness `adj_sharpness` in
+    angstroms around the checker's tol=`adj_tol` windows), and each
+    triplet pays a flat-bottom quadratic to its NEAREST allowed window,
+    shrunk to `window_tol` < the eval's 0.1 so guidance pushes samples
+    comfortably inside what the checker accepts. E(3)-invariant (distances
+    and angles only). Returns fn(z, node_mask, edge_mask, t) -> [B].
+
+    z coordinates are the EDM's normalized latent; `norm_x` (EDMConfig
+    normalize_factors[0]) rescales to angstroms so the distance windows
+    apply. In orientation mode only the first `max_nodes` rows are rings
+    (the tail rows are orientation markers) and the rest are ignored.
+    """
+    import numpy as np
+
+    from gaudi_tpu.data.rings import RINGS_LIST
+    from gaudi_tpu.eval_chem.stability import (
+        ANGELS3,
+        _distance_window_matrices,
+    )
+
+    names = RINGS_LIST[dataset]
+    k = len(names)
+    lo_np, hi_np, _ = _distance_window_matrices(dataset)
+    # unknown type pairs (inf/-inf sentinels) -> zero-weight adjacency
+    d_lo = jnp.asarray(np.where(np.isfinite(lo_np), lo_np * (1 - adj_tol), 1e6))
+    d_hi = jnp.asarray(np.where(np.isfinite(hi_np), hi_np * (1 + adj_tol), -1e6))
+
+    table = ANGELS3.get(dataset, {})
+    c_max = max((len(v) for v in table.values()), default=1)
+    # [K, C, 2] angle windows; pad entries get lo=hi=1e9 so their
+    # flat-bottom penalty is astronomically large and the min() ignores
+    # them; a type with NO windows is unconstrained (masked via has_win)
+    win = np.full((k, c_max, 2), 1e9)
+    has_win = np.zeros((k,), np.float32)
+    for tname, clusters in table.items():
+        ti = names.index(tname)
+        has_win[ti] = 1.0
+        for ci, (lo, hi) in enumerate(clusters.values()):
+            win[ti, ci] = (lo * (1 - window_tol), hi * (1 + window_tol))
+    win = jnp.asarray(win)
+    has_win = jnp.asarray(has_win)
+
+    def energy(z, node_mask, edge_mask=None, t=None) -> jax.Array:
+        x = z[..., :3] * norm_x
+        types = jnp.argmax(z[..., 3:3 + k], axis=-1)  # categorical: no grad
+        m = node_mask
+        if m.ndim == 3:
+            m = m[..., 0]
+        if orientation and max_nodes is not None:
+            x = x[:, :max_nodes]
+            types = types[:, :max_nodes]
+            m = m[:, :max_nodes]
+        n = x.shape[1]
+        diff = x[:, :, None, :] - x[:, None, :, :]
+        d = jnp.sqrt((diff**2).sum(-1) + 1e-12)
+        plo = d_lo[types[:, :, None], types[:, None, :]]
+        phi = d_hi[types[:, :, None], types[:, None, :]]
+        a = (
+            jax.nn.sigmoid((d - plo) / adj_sharpness)
+            * jax.nn.sigmoid((phi - d) / adj_sharpness)
+            * m[:, :, None] * m[:, None, :]
+            * (1.0 - jnp.eye(n))[None]
+        )  # [B, N, N] soft bonded-ness
+        # angle at center j between neighbors i and k (degrees, arccos
+        # range [0, 180] — matches the checker's _angle3)
+        v = diff / d[..., None]  # v[b, i, j] = unit(x_i - x_j)
+        cos = jnp.einsum("bijc,bkjc->bjik", v, v)
+        cos = jnp.clip(cos, -1.0 + 1e-6, 1.0 - 1e-6)
+        ang = jnp.degrees(jnp.arccos(cos))  # [B, J(center), N, N]
+        wlo = win[types][:, :, None, None, :, 0]  # [B, J, 1, 1, C]
+        whi = win[types][:, :, None, None, :, 1]
+        pen = (
+            jax.nn.relu(wlo - ang[..., None]) ** 2
+            + jax.nn.relu(ang[..., None] - whi) ** 2
+        ).min(axis=-1)  # nearest window, flat bottom inside
+        w = (
+            a.transpose(0, 2, 1)[:, :, :, None]  # bond j-i -> [B, J, I, 1]
+            * a[:, :, None, :]                   # bond j-k -> [B, J, 1, K]
+            * (1.0 - jnp.eye(n))[None, None]     # i != k
+            * has_win[types][:, :, None, None]
+        )
+        return (w * pen).sum(axis=(1, 2, 3)) / 2.0  # each triplet twice
+
+    return energy
 
 
-def get_prior(name: str):
-    """Look up a prior energy by name (CLI surface)."""
+PRIORS = {"planarity": planarity_energy, "angles3": ring_angles3_energy}
+
+
+def get_prior(name: str, dataset: str = "cata", max_nodes=None,
+              orientation: bool = False, norm_x: float = 3.0):
+    """Look up a prior energy by name (CLI surface).
+
+    Dataset-aware priors ("angles3") are built from the calling context;
+    dataset-independent ones ("planarity") ignore it.
+    """
     try:
-        return PRIORS[name]
+        p = PRIORS[name]
     except KeyError:
         raise ValueError(
             f"unknown prior {name!r}; available: {sorted(PRIORS)}"
         ) from None
+    if p is ring_angles3_energy:
+        return ring_angles3_energy(
+            dataset, max_nodes=max_nodes, orientation=orientation,
+            norm_x=norm_x,
+        )
+    return p
 
 
 def t_windowed(fn, t_max: float):

@@ -53,15 +53,18 @@ class Sampler:
     """
 
     def __init__(self, edm: EDM, max_nodes: int, orientation: bool = False,
-                 mesh=None, mp_mode=None):
+                 mesh=None, mp_mode=None, dataset: str = ""):
         """mp_mode: optional PARALLELISM_RULES key ("tp"/"sp") activating the
         model axis of a 2-D mesh inside the reverse scan (see parallel/mesh.py);
-        None = batch-sharded DP only."""
+        None = batch-sharded DP only. dataset: name used to build
+        dataset-aware polish priors (e.g. "angles3" window tables);
+        defaults to "hetro" when orientation is set, else "cata"."""
         self.edm = edm
         self.max_nodes = max_nodes
         self.orientation = orientation
         self.mesh = mesh
         self.mp_mode = mp_mode
+        self.dataset = dataset or ("hetro" if orientation else "cata")
 
     def _shardings(self, has_context: bool = False):
         if self.mesh is None:
@@ -84,7 +87,10 @@ class Sampler:
         if polish and polish_guide and polish_guide_scale:
             from gaudi_tpu.diffusion.priors import get_prior
 
-            guide_fn = get_prior(polish_guide)
+            guide_fn = get_prior(
+                polish_guide, dataset=self.dataset, max_nodes=self.max_nodes,
+                orientation=self.orientation, norm_x=self.edm.norm_values[0],
+            )
 
         # Conditional model / classifier-free guidance: derive the
         # CFG-combined denoiser once; every reverse path below (plain,

@@ -316,7 +316,8 @@ class EDMTrainer:
             from gaudi_tpu.utils.plotting import plot_chain, plot_graph_of_rings
 
             cfg = self.cfg
-            sampler = Sampler(self.edm, cfg.max_nodes, self._orientation)
+            sampler = Sampler(self.edm, cfg.max_nodes, self._orientation,
+                              dataset=cfg.dataset)
             rng = np.random.default_rng(epoch)
             counts = self.nodes_dist.sample(n_samples, rng)
             k1, k2 = jax.random.split(key)

@@ -136,7 +136,8 @@ def main():
         flush=True,
     )
 
-    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
+    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro",
+                      dataset=cfg.dataset)
     qlog = open(os.path.join(args.root, "quality.jsonl"), "a")
 
     deadline = time.time() + args.max_hours * 3600.0

@@ -35,7 +35,8 @@ def main():
     from gaudi_tpu.sampling import Sampler, to_molecule_list
 
     cfg, trainer = load_edm_from_dir(args.exp_dir)
-    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
+    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro",
+                      dataset=cfg.dataset)
     rng = np.random.default_rng(3)
     counts = trainer.nodes_dist.sample(args.n, rng)
 

@@ -72,7 +72,8 @@ def main():
 
         target_fn = t_windowed(target_fn, args.t_window)
 
-    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
+    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro",
+                      dataset=cfg.dataset)
     rng = np.random.default_rng(3)
     counts = trainer.nodes_dist.sample(args.n, rng)
 

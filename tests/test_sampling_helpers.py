@@ -290,3 +290,110 @@ class TestPlanarityPrior:
         g_lo = jax.grad(lambda z: fn(z, nm, None, lo).sum())(x)
         assert float(jnp.abs(g_hi).max()) == 0.0
         assert float(jnp.abs(g_lo).max()) > 0.0
+
+
+class TestRingAngles3Prior:
+    """Differentiable 3-ring-angle window energy (diffusion/priors.py
+    ring_angles3_energy) vs the hard checker it soft-mirrors
+    (eval_chem/stability.py check_angels3)."""
+
+    @staticmethod
+    def _chain(angle_deg, d=2.45, norm_x=3.0, k_classes=1, bn_idx=0, n_pad=0):
+        """z for a 3-ring Bn chain: i--j--k with the given center angle."""
+        import jax.numpy as jnp
+
+        a = np.radians(angle_deg)
+        x = np.array([
+            [d, 0.0, 0.0],
+            [0.0, 0.0, 0.0],
+            [d * np.cos(a), d * np.sin(a), 0.0],
+        ])
+        n = 3 + n_pad
+        xs = np.zeros((1, n, 3))
+        xs[0, :3] = x / norm_x
+        h = np.zeros((1, n, k_classes))
+        h[0, :3, bn_idx] = 1.0
+        nm = np.zeros((1, n, 1))
+        nm[0, :3] = 1.0
+        return jnp.asarray(np.concatenate([xs, h], -1)), jnp.asarray(nm)
+
+    def _energy(self, dataset="cata", **kw):
+        from gaudi_tpu.data.rings import RINGS_LIST
+        from gaudi_tpu.diffusion.priors import ring_angles3_energy
+
+        names = RINGS_LIST[dataset]
+        return ring_angles3_energy(dataset, **kw), len(names), names.index("Bn")
+
+    def test_inside_window_zero_outside_positive(self):
+        fn, k, bn = self._energy("cata")
+        z_ok, nm = self._chain(120.0, k_classes=k, bn_idx=bn)
+        z_bad, _ = self._chain(150.0, k_classes=k, bn_idx=bn)
+        e_ok = float(fn(z_ok, nm)[0])
+        e_bad = float(fn(z_bad, nm)[0])
+        # 150 deg sits in the forbidden gap between cata's 120 and 180
+        # windows; 120 deg is inside
+        assert e_ok < 1e-3
+        assert e_bad > 50.0
+
+    def test_e3_invariance(self):
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+
+        fn, k, bn = self._energy("cata")
+        z, nm = self._chain(150.0, k_classes=k, bn_idx=bn)
+        r = jnp.asarray(Rotation.from_euler("xyz", [0.3, -1.1, 0.7]).as_matrix())
+        z2 = jnp.concatenate([z[..., :3] @ r.T + 0.37, z[..., 3:]], -1)
+        # translation moves padded rows too -> mask them consistently
+        z2 = z2 * nm + z * (1 - nm) * 0  # padded rows zeroed either way
+        np.testing.assert_allclose(
+            float(fn(z, nm)[0]), float(fn(z2, nm)[0]), rtol=1e-4
+        )
+
+    def test_gradient_descends_into_window(self):
+        import jax
+        import jax.numpy as jnp
+
+        fn, k, bn = self._energy("cata")
+        z, nm = self._chain(150.0, k_classes=k, bn_idx=bn)
+        e0 = float(fn(z, nm)[0])
+        g = jax.grad(lambda zz: fn(zz, nm).sum())(z)
+        assert np.isfinite(np.asarray(g)).all()
+        z1 = z - 1e-4 * g
+        assert float(fn(z1, nm)[0]) < e0
+
+    def test_dataset_tables_differ(self):
+        # 60-degree fan triplets are real peri geometry (window 56.5-65.2)
+        # but forbidden cata geometry
+        fn_cata, kc, bc = self._energy("cata")
+        fn_peri, kp, bp = self._energy("peri")
+        zc, nmc = self._chain(60.0, k_classes=kc, bn_idx=bc)
+        zp, nmp = self._chain(60.0, k_classes=kp, bn_idx=bp)
+        assert float(fn_peri(zp, nmp)[0]) < 1e-3
+        assert float(fn_cata(zc, nmc)[0]) > 100.0
+
+    def test_orientation_mode_ignores_marker_rows(self):
+        import jax
+
+        from gaudi_tpu.data.rings import RINGS_LIST
+        from gaudi_tpu.diffusion.priors import ring_angles3_energy
+
+        names = RINGS_LIST["hetro"]
+        k, bn = len(names), names.index("Bn")
+        fn = ring_angles3_energy("hetro", max_nodes=4, orientation=True)
+        # 4 ring slots (3 live) + 4 marker rows
+        z, nm = self._chain(150.0, k_classes=k, bn_idx=bn, n_pad=5)
+        nm = nm.at[0, 4:7].set(1.0)  # markers for the 3 live rings
+        e = float(fn(z, nm)[0])
+        assert e > 1.0  # hetro Bn windows exclude 150 too
+        g = jax.grad(lambda zz: fn(zz, nm).sum())(z)
+        # marker rows carry zero gradient: only the first max_nodes rows
+        # are ring geometry
+        assert float(np.abs(np.asarray(g)[0, 4:, :3]).max()) == 0.0
+
+    def test_get_prior_builds_from_context(self):
+        from gaudi_tpu.diffusion.priors import get_prior
+
+        fn = get_prior("angles3", dataset="cata", max_nodes=11)
+        _, k, bn = self._energy("cata")
+        z, nm = self._chain(120.0, k_classes=k, bn_idx=bn)
+        assert float(fn(z, nm)[0]) < 1e-3
