@@ -146,8 +146,27 @@ def get_prior(name: str, dataset: str = "cata", max_nodes=None,
     """Look up a prior energy by name (CLI surface).
 
     Dataset-aware priors ("angles3") are built from the calling context;
-    dataset-independent ones ("planarity") ignore it.
+    dataset-independent ones ("planarity") ignore it. Composite specs sum
+    weighted terms: "planarity+angles3", "100*planarity+0.3*angles3"
+    (the overall --polish-guide-scale still multiplies the sum).
     """
+    if "+" in name:
+        terms = []
+        for part in name.split("+"):
+            part = part.strip()
+            w = 1.0
+            if "*" in part:
+                ws, part = part.split("*", 1)
+                w = float(ws)
+            terms.append((w, get_prior(
+                part.strip(), dataset=dataset, max_nodes=max_nodes,
+                orientation=orientation, norm_x=norm_x,
+            )))
+
+        def combined(z, node_mask, edge_mask=None, t=None):
+            return sum(w * f(z, node_mask, edge_mask, t) for w, f in terms)
+
+        return combined
     try:
         p = PRIORS[name]
     except KeyError:

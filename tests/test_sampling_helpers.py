@@ -397,3 +397,17 @@ class TestRingAngles3Prior:
         _, k, bn = self._energy("cata")
         z, nm = self._chain(120.0, k_classes=k, bn_idx=bn)
         assert float(fn(z, nm)[0]) < 1e-3
+
+    def test_composite_prior_spec(self):
+        import jax
+
+        from gaudi_tpu.diffusion.priors import get_prior, planarity_energy
+
+        _, k, bn = self._energy("cata")
+        z, nm = self._chain(150.0, k_classes=k, bn_idx=bn)
+        fa = get_prior("angles3", dataset="cata")
+        fc = get_prior("2*planarity+angles3", dataset="cata")
+        want = 2.0 * float(planarity_energy(z, nm)[0]) + float(fa(z, nm)[0])
+        np.testing.assert_allclose(float(fc(z, nm)[0]), want, rtol=1e-5)
+        g = jax.grad(lambda zz: fc(zz, nm).sum())(z)
+        assert np.isfinite(np.asarray(g)).all()
