@@ -5,8 +5,9 @@ Usage:
         --edm-dir summary/my-run --predictor-dir prediction_summary/my-pred \
         --batch-size 512 --scale 0.6 --n-nodes 10 --target min:GAP_eV
 
-Targets: `min:FEAT` / `max:FEAT` on any predicted feature, or a weighted
-combination `w1*FEAT1+w2*FEAT2` (always minimized, matching the reference's
+Targets: `min:FEAT` / `max:FEAT` on any predicted feature, `eq:FEAT=V`
+(guide toward a raw property value), or a weighted combination
+`w1*FEAT1+w2*FEAT2` (always minimized, matching the reference's
 convention where the best molecule has the lowest target value,
 generation_guidance.py:137,159).
 
@@ -97,6 +98,20 @@ def make_target_function(spec: str, predictor, pred_params, prop_dist, features)
 
         def f(z, node_mask, edge_mask, t):
             return sign * predict(z, node_mask, edge_mask, t)[:, idx]
+
+        return f
+
+    if spec.startswith("eq:"):
+        # target a property VALUE: energy (pred - v)^2 in raw units —
+        # the classifier-guidance counterpart of conditional-EDM design
+        # with --context-set FEAT=v
+        feat, val = spec[3:].split("=")
+        idx = features.index(feat.strip())
+        v = float(val)
+
+        def f(z, node_mask, edge_mask, t):
+            pred = predict(z, node_mask, edge_mask, t)[:, idx]
+            return (pred * std[idx] + mean[idx] - v) ** 2
 
         return f
 

@@ -117,6 +117,16 @@ class TestCLI:
         assert np.isfinite(out["mean_target"])
         assert os.path.isdir(out["run_dir"])
 
+    def test_generate_eq_target(self, trained):
+        out = generate.main(
+            ["--edm-dir", f"{trained}/summary/edm",
+             "--predictor-dir", f"{trained}/psummary/pred",
+             "--batch-size", "8", "--scale", "0.3", "--n-nodes", "5",
+             "--target", "eq:GAP_eV=2.0", "--out-dir", f"{trained}/best"]
+        )
+        # energy (pred - 2.0)^2 is non-negative and finite
+        assert np.isfinite(out["mean_target"]) and out["mean_target"] >= 0
+
     def test_generate_weighted_target(self, trained):
         out = generate.main(
             ["--edm-dir", f"{trained}/summary/edm",
