@@ -45,7 +45,8 @@ def planarity_energy(z: jax.Array, node_mask: jax.Array, edge_mask=None,
 def ring_angles3_energy(dataset: str = "cata", max_nodes=None,
                         orientation: bool = False, norm_x: float = 3.0,
                         window_tol: float = 0.05, adj_tol: float = 0.1,
-                        adj_sharpness: float = 0.03):
+                        adj_sharpness: float = 0.03,
+                        bond_restraint: float = 1e4):
     """Factory: differentiable 3-ring-angle window energy for a dataset.
 
     The stability checker (eval_chem/stability.py check_angels3, mirroring
@@ -115,6 +116,12 @@ def ring_angles3_energy(dataset: str = "cata", max_nodes=None,
             * m[:, :, None] * m[:, None, :]
             * (1.0 - jnp.eye(n))[None]
         )  # [B, N, N] soft bonded-ness
+        # the bond weights only SELECT which triplets are penalized — they
+        # must not carry gradient, or descending the energy dissolves the
+        # offending bond (lowers w) instead of fixing the angle (measured:
+        # hetro polish guided at scale 30 dropped connectivity
+        # 0.984 -> 0.891 before this stop_gradient)
+        a = jax.lax.stop_gradient(a)
         # angle at center j between neighbors i and k (degrees, arccos
         # range [0, 180] — matches the checker's _angle3)
         v = diff / d[..., None]  # v[b, i, j] = unit(x_i - x_j)
@@ -133,7 +140,16 @@ def ring_angles3_energy(dataset: str = "cata", max_nodes=None,
             * (1.0 - jnp.eye(n))[None, None]     # i != k
             * has_win[types][:, :, None, None]
         )
-        return (w * pen).sum(axis=(1, 2, 3)) / 2.0  # each triplet twice
+        e_ang = (w * pen).sum(axis=(1, 2, 3)) / 2.0  # each triplet twice
+        # flat-bottom restraint keeping (detached-)bonded pairs inside
+        # their distance window, so angle corrections cannot drift
+        # distances out of the dist_stable check (angstrom^2, weighted up
+        # to the degrees^2 scale of the angle term)
+        pen_d = (
+            jax.nn.relu(plo - d) ** 2 + jax.nn.relu(d - phi) ** 2
+        )
+        e_bond = bond_restraint * (a * pen_d).sum(axis=(1, 2)) / 2.0
+        return e_ang + e_bond
 
     return energy
 
