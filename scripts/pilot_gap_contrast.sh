@@ -14,7 +14,9 @@ echo "gap contrast start $(date)" >> $LOG
 EXP=runs/r2gcfg_cpu/summary/longrun-edm
 # T=300 pilot: n-steps 60 = the K=100-equivalent stride; n=128/arm.
 # Targets at mean +/- 1.3 sigma of the label distribution (1.72 +/- 0.54).
-timeout 7200 nice -n 10 python scripts/probe_cfg_property.py \
+timeout 14400 nice -n 10 python scripts/probe_cfg_property.py \
   --exp-dir $EXP --n 128 --n-steps 60 --seed 31 --platform cpu \
-  --targets 1.0,1.7,2.4 --cfg-weights 0,1,2 >> $LOG 2>&1
+  --targets 1.0,1.7,2.4 --cfg-weights 0,1,2 \
+  --guide-predictor-dir runs/r2s/psummary/r2-pred --guide-scale 0.6 \
+  >> $LOG 2>&1
 echo "PILOT GAP CONTRAST DONE $(date)" >> $LOG

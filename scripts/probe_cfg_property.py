@@ -69,6 +69,12 @@ def main(argv=None):
     ap.add_argument("--std", type=float, default=0.7)
     ap.add_argument("--seed", type=int, default=31)
     ap.add_argument("--platform", default="")
+    ap.add_argument("--guide-predictor-dir", default="",
+                    help="also run classifier-guidance arms (eq:GAP_eV=v "
+                         "targets through this trained predictor) at the "
+                         "same targets, judged by the same oracle — the "
+                         "reference-style design path for comparison")
+    ap.add_argument("--guide-scale", type=float, default=0.6)
     args = ap.parse_args(argv)
 
     from gaudi_tpu.cli.common import (
@@ -93,16 +99,41 @@ def main(argv=None):
     sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro")
     elements = ATOMS_LIST[cfg.dataset]  # gor2goa type_idx vocabulary
 
-    def one_arm(target, weight, seed):
+    guide_fn_for = None
+    if args.guide_predictor_dir:
+        from gaudi_tpu.cli.common import load_predictor_from_dir
+        from gaudi_tpu.cli.generate import make_target_function
+        from gaudi_tpu.data import PropertyDistribution
+
+        pcfg, ptr = load_predictor_from_dir(args.guide_predictor_dir)
+        pfeats = pcfg.data_config().targets
+        ppd = PropertyDistribution(ptr.train_ds)
+
+        def guide_fn_for(v):
+            return make_target_function(
+                f"eq:GAP_eV={v}", ptr.model, ptr.state.params, ppd, pfeats
+            )
+
+    def one_arm(target, weight, seed, guided=False):
         rng = np.random.default_rng(seed)
         counts = trainer.nodes_dist.sample(args.n, rng)
         cset = "" if target is None else f"GAP_eV={target}"
         ctx = draw_context(trainer, counts, rng, cset)
-        x, h, node_mask, _ = sampler.sample(
-            trainer.sampling_params, jax.random.PRNGKey(seed), counts,
-            std=args.std, n_steps=args.n_steps, context=ctx,
-            cfg_weight=weight,
-        )
+        if guided:
+            # classifier-guidance arm: eq-target through the predictor,
+            # no conditioning signal (histogram context, weight 0)
+            hist_ctx = draw_context(trainer, counts, rng, "")
+            x, h, node_mask, _ = sampler.sample_guidance(
+                trainer.sampling_params, jax.random.PRNGKey(seed),
+                guide_fn_for(target), counts, scale=args.guide_scale,
+                std=args.std, n_steps=args.n_steps, context=hist_ctx,
+            )
+        else:
+            x, h, node_mask, _ = sampler.sample(
+                trainer.sampling_params, jax.random.PRNGKey(seed), counts,
+                std=args.std, n_steps=args.n_steps, context=ctx,
+                cfg_weight=weight,
+            )
         jax.block_until_ready(x)
         mols = to_molecule_list(
             x, h, node_mask, orientation=cfg.dataset == "hetro",
@@ -127,6 +158,7 @@ def main(argv=None):
         return {
             "target": target,
             "cfg_weight": weight,
+            "guided": bool(guided),
             "n": args.n,
             "mol_valid": round(float(chem["mol_valid"]), 4),
             "oracle_gap_mean": round(float(np.mean(gaps)), 4) if gaps else None,
@@ -142,6 +174,10 @@ def main(argv=None):
     for w in weights:
         for v in targets:
             out = one_arm(v, w, args.seed + int(100 * v) + int(10 * w) + 1)
+            print(json.dumps(out), flush=True)
+    if guide_fn_for is not None:
+        for v in targets:
+            out = one_arm(v, 0.0, args.seed + int(100 * v) + 7, guided=True)
             print(json.dumps(out), flush=True)
     # ground-truth oracle distribution on the train CSV, for scale
     import pandas as pd
