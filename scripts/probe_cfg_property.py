@@ -163,6 +163,9 @@ def main(argv=None):
             "mol_valid": round(float(chem["mol_valid"]), 4),
             "oracle_gap_mean": round(float(np.mean(gaps)), 4) if gaps else None,
             "oracle_gap_std": round(float(np.std(gaps)), 4) if gaps else None,
+            "mae_vs_target": round(
+                float(np.mean(np.abs(np.array(gaps) - target))), 4
+            ) if gaps and target is not None else None,
             "n_oracle": len(gaps),
         }
 
