@@ -36,6 +36,19 @@ def load_checkpoint(
     one device type (e.g. TPU) restore onto another (e.g. CPU) — orbax
     otherwise refuses with a missing-sharding error.
     """
+    if not exp_dir.endswith(".npz") and not os.path.exists(
+        _path(exp_dir, name)
+    ) and os.path.exists(_path(exp_dir, "weights.npz")):
+        # committed artifact dir (args.json + weights.npz, no orbax state)
+        exp_dir = _path(exp_dir, "weights.npz")
+    if exp_dir.endswith(".npz"):
+        # portable params-only artifact (utils/artifacts.py) — loads the
+        # weights into `target`, optimizer state stays at init
+        from gaudi_tpu.utils.artifacts import load_state_npz
+
+        if target is None:
+            raise ValueError("npz artifact restore requires a target state")
+        return load_state_npz(exp_dir, target)
     path = _path(exp_dir, name)
     ckpt = ocp.PyTreeCheckpointer()
     if target is None:
