@@ -241,7 +241,18 @@ class EDMTrainer:
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         ema_params = state.ema_params
         if ema_params is not None:
-            d = self.cfg.ema_decay
+            # Warmup-capped decay: d_t = min(d, (t+1)/(t+10)). Plain
+            # d*e+(1-d)*p with e0 = init params keeps a d^t fraction of the
+            # RANDOM INIT weights in the average — at d=0.9999 that is still
+            # 93% at step 725 and 11% at step 22k, which made every sample
+            # from `sampling_params` near-noise while train_loss fell
+            # normally (the runs/r4s anomaly, VERDICT r2 weak #1). The
+            # warmup cap bounds the init fraction by ~prod (t+9)/(t+10)
+            # ≈ 10/t regardless of d, i.e. <0.1% past step 10k.
+            d = jnp.minimum(
+                self.cfg.ema_decay,
+                (state.step + 1.0) / (state.step + 10.0),
+            )
             ema_params = jax.tree.map(
                 lambda e, p: d * e + (1.0 - d) * p, ema_params, params
             )

@@ -307,6 +307,32 @@ class TestEMA:
         # sampling_params returns the EMA tree
         assert tr.sampling_params is tr.state.ema_params
 
+    def test_high_decay_ema_warms_up_from_init(self, tiny_exp):
+        """Regression for the runs/r4s anomaly: at ema_decay=0.9999 a plain
+        EMA keeps ~d^t of the RANDOM INIT weights (93% after 725 steps), so
+        sampling_params stayed near-noise for tens of thousands of steps
+        while train_loss fell. The warmup cap d_t = min(d, (t+1)/(t+10))
+        must keep early EMA close to the live params, not the init."""
+        import dataclasses
+
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        _, cfg = tiny_exp
+        cfg_ema = dataclasses.replace(cfg, ema_decay=0.9999, name="tiny-ema-hi")
+        tr = EDMTrainer(cfg_ema)
+        p0 = [a.copy() for a in jax.tree.leaves(tr.state.params)]
+        rng = np.random.default_rng(0)
+        key = jax.random.PRNGKey(0)
+        for e in range(2):
+            tr.train_epoch(e, rng, key)
+        p = jax.tree.leaves(tr.state.params)
+        em = jax.tree.leaves(tr.state.ema_params)
+        num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(em, p))
+        den = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(p, p0))
+        # without warmup this ratio is ~1.0 (EMA pinned at init); with the
+        # warmup cap the EMA is a short-horizon average of recent params
+        assert num / den < 0.25, (num, den)
+
     def test_no_ema_by_default(self, tiny_exp):
         from gaudi_tpu.train.trainer_edm import EDMTrainer
 
