@@ -6,13 +6,21 @@ minimum cycle basis -> typed ring nodes with orientation -> fixed-shape padded
 numpy tensors cached in one .npz per dataset split -> batched feed to device.
 """
 
-from gaudi_tpu.data.dataset import AromaticDataset, DatasetConfig, create_datasets
+from gaudi_tpu.data.dataset import (
+    AromaticDataset,
+    DatasetConfig,
+    StatsOnlyDataset,
+    create_datasets,
+    resolve_datasets,
+)
 from gaudi_tpu.data.distributions import NodesDistribution, PropertyDistribution
 
 __all__ = [
     "AromaticDataset",
     "DatasetConfig",
+    "StatsOnlyDataset",
     "create_datasets",
+    "resolve_datasets",
     "NodesDistribution",
     "PropertyDistribution",
 ]

@@ -351,6 +351,63 @@ class AromaticDataset:
             yield batch
 
 
+class StatsOnlyDataset:
+    """Dataset stand-in rebuilt from artifact-recorded train-split stats
+    (utils/artifacts.py collect_dataset_stats) when the data files are gone.
+
+    Carries everything the sampling/eval/guidance paths derive from the
+    train split — normalization mean/std, node-count histogram, property
+    histograms, input width — with the exact values the weights were
+    trained against. Anything that needs real examples (training epochs,
+    novelty identity sets) raises with a pointer at the missing CSV, rather
+    than silently recomputing shifted statistics from regenerated data
+    (the round-2 ADVICE.md finding)."""
+
+    def __init__(self, cfg: DatasetConfig, stats: dict):
+        self.cfg = cfg
+        self.split = "stats-only"
+        self.n_classes = int(stats["n_classes"])
+        self.num_node_features = self.n_classes
+        t = len(cfg.targets)
+        self.num_targets = t
+        if cfg.normalize and stats.get("mean") is not None:
+            self.mean = np.asarray(stats["mean"], np.float32)
+            self.std = np.asarray(stats["std"], np.float32)
+        else:
+            self.mean = np.zeros(t, np.float32)
+            self.std = np.ones(t, np.float32)
+        self.nodes_hist = dict(stats["nodes_hist"])
+        self.prop_dist_state = stats.get("prop_dist")
+        self._train_size = int(stats.get("meta", {}).get("train_size", 0))
+
+    def __len__(self) -> int:
+        return self._train_size
+
+    @property
+    def padded_nodes(self) -> int:
+        return self.cfg.max_nodes * (2 if self.cfg.orientation else 1)
+
+    def rescale_loss(self, loss):
+        return loss * float(self.std.mean()) if self.cfg.normalize else loss
+
+    def _need_data(self, what: str):
+        raise RuntimeError(
+            f"{what} needs the real dataset files, but this model was "
+            f"restored from a stats-only artifact and csv_file="
+            f"{self.cfg.csv_file!r} does not exist. Regenerate or point "
+            "csv_file/xyz_root at the data to use this path."
+        )
+
+    def iter_batches(self, *a, **k):
+        self._need_data("training/validation iteration")
+
+    def collate(self, *a, **k):
+        self._need_data("batch collation")
+
+    def chem_identities(self, *a, **k):
+        self._need_data("novelty reference identities")
+
+
 def create_datasets(cfg: DatasetConfig):
     """(train, val, test) AromaticDatasets with shared train-split stats."""
     df_train, df_val, df_test, _ = get_splits(cfg)
@@ -365,3 +422,57 @@ def create_datasets(cfg: DatasetConfig):
         AromaticDataset(cfg, df_val, mean, std, "val"),
         AromaticDataset(cfg, df_test, mean, std, "test"),
     )
+
+
+def resolve_datasets(cfg: DatasetConfig, restore: Optional[str] = None):
+    """create_datasets, artifact-aware.
+
+    When `restore` points at a stats-carrying artifact (weights.npz with
+    recorded train-split statistics):
+      - missing data files → StatsOnlyDataset triple (sampling/eval work,
+        training raises informatively);
+      - present data files → real datasets, but with the RECORDED
+        normalization stats and priors overriding the recomputed ones, so
+        conditioned sampling/eval can't silently shift when the data tree
+        was regenerated with a different size/seed (warns on drift).
+    Without stats this is exactly create_datasets."""
+    import warnings
+
+    stats = None
+    if restore:
+        from gaudi_tpu.utils.artifacts import load_artifact_stats
+
+        stats = load_artifact_stats(restore)
+    if stats is None:
+        return create_datasets(cfg)
+    if not (cfg.csv_file and os.path.exists(cfg.csv_file)):
+        ds = StatsOnlyDataset(cfg, stats)
+        return ds, ds, ds
+    dsets = create_datasets(cfg)
+    train = dsets[0]
+    if int(stats["n_classes"]) != train.n_classes:
+        raise ValueError(
+            f"artifact was trained with n_classes={stats['n_classes']} but "
+            f"the dataset at {cfg.csv_file} yields {train.n_classes}"
+        )
+    if cfg.normalize and stats.get("mean") is not None and cfg.targets:
+        rec_m = np.asarray(stats["mean"], np.float32)
+        rec_s = np.asarray(stats["std"], np.float32)
+        if train.mean is not None and len(train.mean) == len(rec_m):
+            drift = float(
+                np.max(np.abs(train.mean - rec_m) / np.maximum(rec_s, 1e-6))
+            )
+            if drift > 0.05:
+                warnings.warn(
+                    f"dataset at {cfg.csv_file} has target stats drifting "
+                    f"{drift:.2f}σ from the artifact's recorded ones "
+                    "(regenerated with a different size/seed?); using the "
+                    "recorded stats the weights were trained with"
+                )
+        for d in dsets:
+            d.mean, d.std = rec_m.copy(), rec_s.copy()
+    # recorded priors win over recomputed ones for the same reason
+    train.nodes_hist = dict(stats["nodes_hist"])
+    if stats.get("prop_dist") is not None:
+        train.prop_dist_state = stats["prop_dist"]
+    return dsets

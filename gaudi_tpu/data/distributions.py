@@ -37,6 +37,11 @@ class NodesDistribution:
 
     @classmethod
     def from_dataset(cls, dataset) -> "NodesDistribution":
+        # StatsOnlyDataset (artifact restore without data files) carries the
+        # recorded train-split histogram instead of raw examples
+        hist = getattr(dataset, "nodes_hist", None)
+        if hist is not None:
+            return cls(histogram=hist)
         counts = np.bincount(dataset.data["n_nodes"])
         hist = {i: int(c) for i, c in enumerate(counts) if c > 0}
         return cls(histogram=hist)
@@ -59,6 +64,12 @@ class PropertyDistribution:
     """
 
     def __init__(self, dataset, num_bins: int = 1000):
+        # StatsOnlyDataset: rebuild from the artifact-recorded histograms
+        # rather than a dataframe the machine no longer has
+        state = getattr(dataset, "prop_dist_state", None)
+        if state is not None:
+            self._init_from_state(state)
+            return
         self.num_bins = num_bins
         self.mean = dataset.mean
         self.std = dataset.std
@@ -84,6 +95,48 @@ class PropertyDistribution:
                 hist = np.bincount(bins, minlength=num_bins).astype(np.float64)
                 per_prop[n] = {"probs": hist / hist.sum(), "params": (lo, hi)}
             self.distributions[prop] = per_prop
+
+    def _init_from_state(self, state: dict) -> None:
+        self.num_bins = int(state["num_bins"])
+        self.properties = list(state["properties"])
+        self.mean = state["mean"]
+        self.std = state["std"]
+        self.distributions = {
+            p: {
+                int(n): {
+                    "probs": np.asarray(d["probs"], np.float64),
+                    "params": (float(d["params"][0]), float(d["params"][1])),
+                }
+                for n, d in state["hists"][p].items()
+            }
+            for p in self.properties
+        }
+
+    def state(self) -> dict:
+        """Serializable snapshot (inverse of from_state) — what artifacts
+        record so guided generation works without the training CSV."""
+        return {
+            "num_bins": self.num_bins,
+            "properties": list(self.properties),
+            "mean": self.mean,
+            "std": self.std,
+            "hists": {
+                p: {
+                    int(n): {
+                        "probs": d["probs"],
+                        "params": d["params"],
+                    }
+                    for n, d in per.items()
+                }
+                for p, per in self.distributions.items()
+            },
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "PropertyDistribution":
+        obj = cls.__new__(cls)
+        obj._init_from_state(state)
+        return obj
 
     def sample(self, n_nodes: int, rng: np.random.Generator) -> np.ndarray:
         vals = []

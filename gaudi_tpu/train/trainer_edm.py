@@ -24,7 +24,7 @@ import numpy as np
 
 from gaudi_tpu.config import EDMConfig
 from gaudi_tpu.core import masked as M
-from gaudi_tpu.data import NodesDistribution, PropertyDistribution, create_datasets
+from gaudi_tpu.data import NodesDistribution, PropertyDistribution, resolve_datasets
 from gaudi_tpu.diffusion.edm import EDM
 from gaudi_tpu.diffusion.schedule import NoiseSchedule
 from gaudi_tpu.models.egnn import EGNNDynamics
@@ -98,7 +98,10 @@ class EDMTrainer:
         self.mesh = mesh
         self.mp_mode = mp_mode
         if datasets is None:
-            datasets = create_datasets(cfg.data_config())
+            # artifact-aware: a stats-carrying weights.npz at cfg.restore
+            # supplies recorded normalization/priors, and stands in for the
+            # data entirely when the CSV is gone (sampling/eval still work)
+            datasets = resolve_datasets(cfg.data_config(), cfg.restore)
         self.train_ds, self.val_ds, self.test_ds = datasets
         self.nodes_dist = NodesDistribution.from_dataset(self.train_ds)
         self.prop_dist = (

@@ -29,7 +29,7 @@ from gaudi_tpu.parallel.mesh import (
     call_with_rules,
     replicated_sharding,
 )
-from gaudi_tpu.data import create_datasets
+from gaudi_tpu.data import resolve_datasets
 from gaudi_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from gaudi_tpu.train.logging import MetricsLogger
 from gaudi_tpu.train.optim import make_optimizer
@@ -72,7 +72,9 @@ class PredictorTrainer:
         self.mesh = mesh
         self.mp_mode = mp_mode
         if datasets is None:
-            datasets = create_datasets(cfg.data_config())
+            # artifact-aware (see EDMTrainer): recorded stats override, and
+            # stand in for, the data files
+            datasets = resolve_datasets(cfg.data_config(), cfg.restore)
         self.train_ds, self.val_ds, self.test_ds = datasets
 
         edm_cfg = edm_cfg or EDMConfig(dataset=cfg.dataset, max_nodes=cfg.max_nodes)

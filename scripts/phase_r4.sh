@@ -47,7 +47,7 @@ echo "CATA_TRAIN DONE $(date)" >> $LOG
 timeout 1200 python -m gaudi_tpu.cli.export_params \
   --exp-dir runs/r4/summary/longrun-edm --out artifacts/cata-edm \
   --note "phase_r4 cata longrun" >> $LOG 2>&1
-git add artifacts/cata-edm && git commit -q -m "Artifact: cata EDM from phase_r4 longrun"
+git add artifacts/cata-edm && git commit -q -m "Artifact: cata EDM from phase_r4 longrun" -- artifacts/cata-edm
 timeout 3600 python -m gaudi_tpu.cli.eval_validity \
   --exp-dir runs/r4/summary/longrun-edm --n-samples 1024 --batch-size 512 \
   --polish 5 --polish-t 0.15 --polish-noise 0.3 --polish-decay 0.6 \
@@ -71,7 +71,7 @@ PY
   timeout 1200 python -m gaudi_tpu.cli.export_params \
     --exp-dir $ROOT/summary/longrun-edm --out artifacts/$DS-edm \
     --note "phase_r4 $DS longrun" >> $LOG 2>&1
-  git add artifacts/$DS-edm && git commit -q -m "Artifact: $DS EDM from phase_r4 longrun"
+  git add artifacts/$DS-edm && git commit -q -m "Artifact: $DS EDM from phase_r4 longrun" -- artifacts/$DS-edm
   timeout 3600 python -m gaudi_tpu.cli.eval_validity \
     --exp-dir $ROOT/summary/longrun-edm --n-samples 512 --batch-size 512 \
     --polish 3 --polish-t 0.05 --polish-noise 0.3 \
@@ -88,5 +88,5 @@ timeout 7200 python -m gaudi_tpu.cli.train_predictor \
 timeout 1200 python -m gaudi_tpu.cli.export_params --predictor \
   --exp-dir runs/r4/psummary/cond-predictor --out artifacts/cata-predictor \
   --note "phase_r4 predictor" >> $LOG 2>&1
-git add artifacts/cata-predictor && git commit -q -m "Artifact: cata predictor from phase_r4"
+git add artifacts/cata-predictor && git commit -q -m "Artifact: cata predictor from phase_r4" -- artifacts/cata-predictor
 echo "PHASE_R4 DONE $(date)" >> $LOG

@@ -136,6 +136,96 @@ class TestCLI:
         )
         assert np.isfinite(out["mean_target"])
 
+    def test_export_artifact_is_self_contained(self, trained, tmp_path):
+        """export_params → artifact dir that samples correctly even when
+        csv_file points at a path that no longer exists (the post-VM-recycle
+        state), using the RECORDED train-split stats (ADVICE r2 medium)."""
+        import jax
+
+        from gaudi_tpu.cli import export_params
+        from gaudi_tpu.config import EDMConfig
+        from gaudi_tpu.data import StatsOnlyDataset
+        from gaudi_tpu.sampling import Sampler
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        art = str(tmp_path / "cata-edm")
+        export_params.main(
+            ["--exp-dir", f"{trained}/summary/edm", "--out", art]
+        )
+        assert os.path.exists(f"{art}/weights.npz")
+
+        # reference stats from the live experiment
+        cfg0 = EDMConfig.load(f"{trained}/summary/edm")
+        tr0 = EDMTrainer(cfg0)
+
+        # simulate the recycle: csv/xyz paths in args.json no longer exist
+        with open(f"{art}/args.json") as f:
+            d = json.load(f)
+        d["csv_file"] = str(tmp_path / "gone" / "cata.csv")
+        d["xyz_root"] = str(tmp_path / "gone" / "cata-xyz")
+        with open(f"{art}/args.json", "w") as f:
+            json.dump(d, f)
+
+        cfg = EDMConfig.load(art)
+        tr = EDMTrainer(cfg)
+        assert isinstance(tr.train_ds, StatsOnlyDataset)
+        np.testing.assert_allclose(tr.train_ds.mean, tr0.train_ds.mean)
+        np.testing.assert_allclose(tr.train_ds.std, tr0.train_ds.std)
+        np.testing.assert_allclose(tr.nodes_dist.prob, tr0.nodes_dist.prob)
+        # weights restored from the artifact, not re-initialized
+        for a, b in zip(
+            jax.tree.leaves(tr.state.params), jax.tree.leaves(tr0.state.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the full sampling path works without any data files
+        sampler = Sampler(tr.edm, cfg.max_nodes, False, dataset=cfg.dataset)
+        rng = np.random.default_rng(0)
+        counts = tr.nodes_dist.sample(4, rng)
+        x, h, nm, _ = sampler.sample(
+            tr.sampling_params, jax.random.PRNGKey(0), counts, std=0.7
+        )
+        assert np.isfinite(np.asarray(x)).all()
+        # training paths refuse clearly instead of failing deep in pandas
+        with pytest.raises(RuntimeError, match="stats-only artifact"):
+            tr.train_epoch(0, rng, jax.random.PRNGKey(1))
+
+    def test_artifact_stats_override_regenerated_csv(self, trained, tmp_path):
+        """When the artifact's csv path EXISTS but holds different data
+        (regenerated with another seed), the recorded stats win + a drift
+        warning fires — conditioned eval can't silently shift."""
+        import warnings
+
+        from gaudi_tpu.cli import export_params
+        from gaudi_tpu.config import EDMConfig
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        art = str(tmp_path / "cata-edm2")
+        export_params.main(
+            ["--exp-dir", f"{trained}/summary/edm", "--out", art]
+        )
+        cfg0 = EDMConfig.load(f"{trained}/summary/edm")
+        tr0 = EDMTrainer(cfg0)
+
+        root2 = str(tmp_path / "regen")
+        generate_dataset(root2, "cata", n_molecules=30, seed=99)
+        with open(f"{art}/args.json") as f:
+            d = json.load(f)
+        d["csv_file"] = f"{root2}/cata.csv"
+        d["xyz_root"] = f"{root2}/cata-xyz"
+        with open(f"{art}/args.json", "w") as f:
+            json.dump(d, f)
+
+        cfg = EDMConfig.load(art)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # drift magnitude is data-luck
+            tr = EDMTrainer(cfg)
+        # real data present: training still possible...
+        assert len(tr.train_ds) > 0
+        # ...but normalization is the recorded one, not the regenerated one
+        np.testing.assert_allclose(tr.train_ds.mean, tr0.train_ds.mean)
+        np.testing.assert_allclose(tr.train_ds.std, tr0.train_ds.std)
+        np.testing.assert_allclose(tr.nodes_dist.prob, tr0.nodes_dist.prob)
+
     def test_check_dataset_oracle(self, workspace):
         from gaudi_tpu.cli import check_dataset
 
