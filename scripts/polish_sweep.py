@@ -34,10 +34,16 @@ def main():
     ap.add_argument("--ts", default="0.10,0.15,0.20")
     ap.add_argument("--noises", default="0.2,0.3")
     ap.add_argument("--out", default="")
+    ap.add_argument("--platform", default="",
+                    help="e.g. cpu — each grid point compiles its own "
+                         "graph, so CPU ranking + one TPU confirmation "
+                         "beats 12 remote compiles")
     args = ap.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     try:
         jax.config.update("jax_compilation_cache_dir", default_compile_cache())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
