@@ -27,9 +27,12 @@ timeout 8400 python scripts/longrun_tpu.py --root runs/r4 --dataset cata \
   >> runs/r4/driver.log 2>&1
 echo "CATA_MAIN DONE $(date)" >> $LOG
 
-# low-t fine-tune (resumes from the same root's checkpoint)
-timeout 3600 python scripts/longrun_tpu.py --root runs/r4 --dataset cata \
-  --molecules 16000 --max-hours 0.65 --ema 0.9999 --round-epochs 25 \
+# low-t fine-tune (resumes from the same root's checkpoint).
+# lr 1e-4 is part of the proven r2lt recipe (QUALITY.md:330) — fine-tuning
+# at the full 1e-3 would perturb the converged weights instead of
+# sharpening the low-t score.
+timeout 4200 python scripts/longrun_tpu.py --root runs/r4 --dataset cata \
+  --molecules 16000 --max-hours 0.8 --lr 1e-4 --ema 0.9999 --round-epochs 25 \
   --t-bias-frac 0.5 --t-bias-cap 0.1 \
   >> runs/r4/driver.log 2>&1
 echo "CATA_FT DONE $(date)" >> $LOG
