@@ -5,6 +5,16 @@
 # a committed self-contained artifact (VERDICT r2 next-steps #1/#4/#5/#6).
 cd /root/repo || exit 1
 LOG=runs/r5_rest.log
+# single-instance guard: the 09:12 instance (pid 14676) is the authoritative
+# run this round; a chained duplicate invocation must exit immediately.
+if kill -0 14676 2>/dev/null; then
+  echo "r5_rest: original instance (pid 14676) still running; duplicate exits $(date)" >> $LOG
+  exit 0
+fi
+if ! mkdir /tmp/r5_rest.lock 2>/dev/null; then
+  echo "r5_rest: lock held; duplicate exits $(date)" >> $LOG
+  exit 0
+fi
 echo "r5_rest start $(date)" >> $LOG
 
 commit_artifact () {  # commit_artifact <dir> <msg>
