@@ -6,10 +6,13 @@ timeout kill loses hours of accepted geometry. Every xyz on disk corresponds
 to exactly one accepted row, and every csv column is recomputable from the
 geometry:
 
-- n_rings: cyclomatic number E - V + 1 of the covalent graph. For the
-  connected planar fused-ring patches the generator emits this equals the
-  number of bounded faces (Euler), i.e. the hexagon/ring count; explicit H
-  atoms add one vertex and one edge each and cancel out.
+- n_rings: extract_ring_graph — the same ground-truth extractor the
+  dataset layer runs (data/dataset.py:82-88), so the salvaged column is
+  definitionally what the loader's n_rings prefilter expects. Fallback for
+  geometries the extractor rejects: cyclomatic number E - V + 1 of the
+  covalent graph (equals the bounded-face count for the generator's
+  connected planar patches, but over-counts when hetero substitution
+  creates extra covalent contacts — measured on B-rich invalid skeletons).
 - Hueckel targets: _huckel_targets is deterministic from geometry apart
   from its ~0.02 eV synthetic measurement noise (Erel is pure noise); we
   redraw that noise from a fresh rng, which is statistically equivalent.
@@ -30,6 +33,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gaudi_tpu.data.mol import connectivity_matrix, load_xyz
+from gaudi_tpu.data.rings import extract_ring_graph
 from gaudi_tpu.data.synthetic import _huckel_targets, _skeleton_chemically_valid
 
 
@@ -57,9 +61,12 @@ def main():
                 raise ValueError(
                     f"truncated: header {declared} vs {len(mol.elements)} atoms"
                 )
-            adj = connectivity_matrix(mol).astype(bool)
-            n_edges = int(adj.sum()) // 2
-            n_rings = n_edges - len(mol.elements) + 1
+            try:
+                n_rings = int(extract_ring_graph(mol, args.dataset).n_rings)
+            except Exception:
+                adj = connectivity_matrix(mol).astype(bool)
+                n_edges = int(adj.sum()) // 2
+                n_rings = n_edges - len(mol.elements) + 1
             if n_rings < 1:
                 raise ValueError("acyclic/disconnected parse")
             row = {"molecule": fname[:-4], "n_rings": n_rings}
