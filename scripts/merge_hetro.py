@@ -1,12 +1,17 @@
-"""Merge runs/r5h (16k hetro) + runs/r5h_lab VALID=1 subset into one root.
+"""Merge several hetro data roots into one EDM training root.
 
 The labeled classifier dataset (seed 1) was generated with the same
 physics as the training set (seed 0); its chemically-valid rows are
 legitimate extra EDM training data (~6.7k molecules, disjoint seed).
-Molecule names collide across the two runs (both number from 0), so lab
-rows are renamed with a 9xxxxx index offset; xyz files are hardlinked.
+Extra plain runs (e.g. seed 2) stack the same way. Molecule names
+collide across runs (each numbers from 0), so every source carries an
+index offset making names unique; xyz files are hardlinked. Sources
+with a VALID column (labeled runs) are filtered to VALID==1 and the
+column is dropped so all sources share the plain-csv schema.
 
-Usage: python scripts/merge_hetro.py --out runs/r5h_merged
+Usage:
+  python scripts/merge_hetro.py --out runs/r5h_merged \
+      --src runs/r5h:0 --src runs/r5h_lab:900000 --src runs/r5h2:500000
 """
 import argparse
 import os
@@ -16,35 +21,37 @@ import pandas as pd
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--a", default="runs/r5h")
-    ap.add_argument("--b", default="runs/r5h_lab")
+    ap.add_argument("--src", action="append", required=True,
+                    help="root:offset (offset added to molecule indices)")
     ap.add_argument("--out", default="runs/r5h_merged")
     args = ap.parse_args()
 
     out_xyz = os.path.join(args.out, "hetro-xyz")
     os.makedirs(out_xyz, exist_ok=True)
 
-    da = pd.read_csv(os.path.join(args.a, "hetro.csv"))
-    for name in da["molecule"]:
-        dst = os.path.join(out_xyz, name + ".xyz")
-        if not os.path.exists(dst):
-            os.link(os.path.join(args.a, "hetro-xyz", name + ".xyz"), dst)
+    frames = []
+    for spec in args.src:
+        root, _, off = spec.partition(":")
+        off = int(off or 0)
+        df = pd.read_csv(os.path.join(root, "hetro.csv"))
+        if "VALID" in df.columns:
+            df = df[df["VALID"] == 1.0].drop(columns=["VALID"])
+            df = df.reset_index(drop=True)
+        renames = []
+        for name in df["molecule"]:
+            idx = int(name.rsplit("_", 1)[1])
+            new = f"hetro_{off + idx:06d}" if off else name
+            renames.append(new)
+            dst = os.path.join(out_xyz, new + ".xyz")
+            if not os.path.exists(dst):
+                os.link(os.path.join(root, "hetro-xyz", name + ".xyz"), dst)
+        df["molecule"] = renames
+        frames.append(df)
+        print(f"{root}: +{len(df)} molecules (offset {off})")
 
-    db = pd.read_csv(os.path.join(args.b, "hetro.csv"))
-    db = db[db["VALID"] == 1.0].drop(columns=["VALID"]).reset_index(drop=True)
-    renames = []
-    for name in db["molecule"]:
-        idx = int(name.rsplit("_", 1)[1])
-        new = f"hetro_{900000 + idx:06d}"
-        renames.append(new)
-        dst = os.path.join(out_xyz, new + ".xyz")
-        if not os.path.exists(dst):
-            os.link(os.path.join(args.b, "hetro-xyz", name + ".xyz"), dst)
-    db["molecule"] = renames
-
-    merged = pd.concat([da, db], ignore_index=True)
+    merged = pd.concat(frames, ignore_index=True)
     merged.to_csv(os.path.join(args.out, "hetro.csv"), index=False)
-    print(f"merged: {len(da)} + {len(db)} = {len(merged)} molecules -> {args.out}")
+    print(f"merged: {len(merged)} molecules -> {args.out}")
 
 
 if __name__ == "__main__":
