@@ -43,9 +43,13 @@ No-Verification-Needed: committed eval-log evidence only" -- evidence/r3 && brea
 }
 
 for i in $(seq 1 500); do
+  # distinct basenames: the hm legs' quality.jsonl must not collide with
+  # peri's (evidence/ keys files by basename)
+  [ -f runs/r5p/quality.jsonl ] && cp -f runs/r5p/quality.jsonl runs/r5p_quality.jsonl
+  [ -f runs/r5h_merged/quality.jsonl ] && cp -f runs/r5h_merged/quality.jsonl runs/r5hm_quality.jsonl
   commit_leg peri_evals runs/r5_fix.log "PERI_EVALS DONE" \
     runs/r5p_eval_raw.log runs/r5p_eval_polish.log runs/r5p_eval_reject.log \
-    runs/r5p/quality.jsonl
+    runs/r5p_quality.jsonl
   commit_leg solver_confirm runs/r5_tail.log "SOLVER_CONFIRM DONE" \
     runs/r5s_anc_k100.log runs/r5s_dpmpp_k25_raw.log \
     runs/r5s_dpmpp_k25_polish.log runs/r5s_dpmpp_k10_polish.log
@@ -56,11 +60,11 @@ for i in $(seq 1 500); do
   commit_leg vclf2 runs/r5_vclf2.log "VCLF2_EVAL DONE" \
     runs/r5h_eval_vclf3.log runs/r5_vclf2.log
   commit_leg hm_cont runs/r5_hm.log "HM_FT DONE" \
-    runs/r5h_merged/quality.jsonl runs/r5_hm.log
+    runs/r5hm_quality.jsonl runs/r5_hm.log
   commit_leg hm_evals runs/r5_hm.log "HM_EVALS DONE" \
     runs/r5hm_eval_raw.log runs/r5hm_eval_polish.log \
     runs/r5hm_eval_vclf.log runs/r5hm_eval_reject.log \
-    runs/r5h_merged/quality.jsonl runs/r5_hm.log
+    runs/r5hm_quality.jsonl runs/r5_hm.log
   if [ -f evidence/r3/.done_hm_evals ]; then
     echo "all legs committed $(date)" >> $LOG
     break
