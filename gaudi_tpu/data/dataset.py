@@ -126,9 +126,13 @@ def _preprocess_split(
         ]
         n_workers = n_workers or (os.cpu_count() if m > 2000 else 0)
         if n_workers and n_workers > 1:
+            import multiprocessing as mp
             from concurrent.futures import ProcessPoolExecutor
 
-            with ProcessPoolExecutor(max_workers=n_workers) as pool:
+            # spawn, not fork: the parent may hold JAX's thread pool
+            with ProcessPoolExecutor(
+                max_workers=n_workers, mp_context=mp.get_context("spawn")
+            ) as pool:
                 results = list(pool.map(_extract_one, tasks, chunksize=256))
         else:
             results = [_extract_one(t) for t in tasks]

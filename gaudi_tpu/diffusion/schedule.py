@@ -8,12 +8,15 @@ shapes). Mirrors reference edm/equivariant_diffusion/en_diffusion.py:32-81
 
 The reference's learned `GammaNetwork` (en_diffusion.py:233-272) is never
 selected by any live config (defaults use polynomial_2 + l2). It is rebuilt
-here for inventory completeness as `GammaNetwork` (same VDM monotone
-construction, parity-tested against the torch original) together with
-`NoiseSchedule.from_gamma_network`, which tabulates a trained gamma net
-onto the T+1 lookup grid so every existing sampler/loss path can serve it
-unchanged. End-to-end VLB training of gamma is out of scope exactly as it
-is in the reference's live configs.
+here as `GammaNetwork` (same VDM monotone construction, parity-tested
+against the torch original) together with
+`NoiseSchedule.from_gamma_network`, which tabulates a gamma net onto the
+T+1 lookup grid so every existing sampler/loss path can serve it
+unchanged. End-to-end VLB training is wired in the trainer:
+`EDMConfig(diffusion_noise_schedule="learned", diffusion_loss_type="vlb")`
+puts the gamma params into the optimized pytree and retabulates the table
+from them inside every loss evaluation (train/trainer_edm.py), matching
+the reference's vlb-only restriction on learning the schedule.
 """
 
 from __future__ import annotations

@@ -18,6 +18,7 @@ molecules.
 
 from __future__ import annotations
 
+import multiprocessing as mp
 from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
@@ -29,6 +30,30 @@ from gaudi_tpu.eval_chem.valence import (
     try_rdkit_inchi,
     valence_valid,
 )
+
+# The parent process usually has JAX loaded (multithreaded); fork() of a
+# multithreaded process can deadlock in the child (CPython emits a
+# RuntimeWarning for exactly this). None of the worker-side modules import
+# jax, so spawn workers start clean and cheap.
+_MP_CTX = mp.get_context("spawn")
+
+
+def _pool_map(fn, jobs, n_workers):
+    """pool.map with a serial fallback.
+
+    spawn re-executes the parent's __main__ in each worker; parents without
+    an importable main module (REPL, stdin scripts) raise BrokenProcessPool
+    — degrade to the serial path instead of crashing the eval.
+    """
+    from concurrent.futures.process import BrokenProcessPool
+
+    try:
+        with ProcessPoolExecutor(
+            max_workers=n_workers, mp_context=_MP_CTX
+        ) as pool:
+            return list(pool.map(fn, jobs, chunksize=32))
+    except BrokenProcessPool:
+        return [fn(j) for j in jobs]
 
 
 def _convert_one(args):
@@ -95,8 +120,7 @@ def analyze_chemical_validity_for_molecules(
     if use_native:
         # geometry over the pool, then one batched native judge call
         if use_pool:
-            with ProcessPoolExecutor(max_workers=n_workers) as pool:
-                goas = list(pool.map(_convert_one, jobs, chunksize=32))
+            goas = _pool_map(_convert_one, jobs, n_workers)
         else:
             goas = [_convert_one(j) for j in jobs]
         live = [i for i, g in enumerate(goas) if g is not None]
@@ -108,8 +132,7 @@ def analyze_chemical_validity_for_molecules(
         # python/RDKit judge is per-molecule: fuse it with the conversion
         # inside the workers so InChI generation parallelizes too
         if use_pool:
-            with ProcessPoolExecutor(max_workers=n_workers) as pool:
-                judged = list(pool.map(_convert_and_judge, jobs, chunksize=32))
+            judged = _pool_map(_convert_and_judge, jobs, n_workers)
         else:
             judged = [_convert_and_judge(j) for j in jobs]
         for i, (ok, ident) in enumerate(judged):

@@ -71,11 +71,21 @@ def build_edm(cfg: EDMConfig, in_node_nf: int) -> tuple[EGNNDynamics, EDM]:
         condition_time=True,
         mode=cfg.model,
     )
-    schedule = NoiseSchedule.create(
-        cfg.diffusion_noise_schedule,
-        cfg.diffusion_steps,
-        cfg.diffusion_noise_precision,
-    )
+    if cfg.diffusion_noise_schedule == "learned":
+        # trainable VDM gamma net (reference en_diffusion.py:233-272): the
+        # trainer owns the gamma params and retabulates the lookup table
+        # from them inside every loss evaluation; this static table is only
+        # the pre-training placeholder (refreshed via
+        # EDMTrainer.refresh_learned_schedule before any sampling)
+        schedule = NoiseSchedule.create(
+            "polynomial_2", cfg.diffusion_steps, cfg.diffusion_noise_precision
+        )
+    else:
+        schedule = NoiseSchedule.create(
+            cfg.diffusion_noise_schedule,
+            cfg.diffusion_steps,
+            cfg.diffusion_noise_precision,
+        )
     edm = EDM(
         apply_fn=model.apply,
         schedule=schedule,
@@ -138,6 +148,28 @@ class EDMTrainer:
         params = self.model.init(
             key, jnp.zeros((2, 1)), dummy_xh, dummy_nm, dummy_em, dummy_ctx
         )
+        # Learned noise schedule: gamma-net params join the optimized pytree
+        # under a wrapper dict; the loss retabulates gamma from them each
+        # step (reference trains GammaNetwork only through the VLB —
+        # en_diffusion.py:297-299 asserts vlb; the simple l2 loss gives
+        # gamma no gradient, so the same restriction applies here).
+        self._learned_gamma = cfg.diffusion_noise_schedule == "learned"
+        if self._learned_gamma:
+            if cfg.diffusion_loss_type == "l2":
+                raise ValueError(
+                    "diffusion_noise_schedule='learned' requires "
+                    "diffusion_loss_type='vlb' (the l2 estimator drops the "
+                    "SNR weights that carry gamma's gradient)"
+                )
+            from gaudi_tpu.diffusion.schedule import GammaNetwork
+
+            self._gamma_grid = jnp.linspace(
+                0.0, 1.0, cfg.diffusion_steps + 1
+            )[:, None]
+            params = {
+                "model": params,
+                "gamma": GammaNetwork.init(jax.random.fold_in(key, 1)),
+            }
         self.state = TrainState.create(
             params, self.optimizer, ema=cfg.ema_decay > 0
         )
@@ -179,11 +211,25 @@ class EDMTrainer:
 
     @property
     def sampling_params(self):
-        return (
+        p = (
             self.state.ema_params
             if self.state.ema_params is not None
             else self.state.params
         )
+        return p["model"] if self._learned_gamma else p
+
+    def refresh_learned_schedule(self):
+        """Bake the current (EMA-preferred) gamma-net params into self.edm's
+        lookup table so every sampler/eval path serves the learned schedule.
+        No-op for predefined schedules."""
+        if not self._learned_gamma:
+            return
+        p = (
+            self.state.ema_params
+            if self.state.ema_params is not None
+            else self.state.params
+        )
+        self.edm = self._learned_edm(p["gamma"])
 
     # ------------------------------------------------------------------
 
@@ -194,7 +240,30 @@ class EDMTrainer:
         x = M.remove_mean_with_mask(x, node_mask)
         return x, h, node_mask, edge_mask
 
+    def _learned_edm(self, gamma_params):
+        """EDM with the schedule retabulated from live gamma-net params.
+
+        jnp.take through the fresh table is differentiable w.r.t. the table
+        values, so gradients reach the gamma net with zero changes to the
+        diffusion math.
+        """
+        import dataclasses as _dc
+
+        from gaudi_tpu.diffusion.schedule import GammaNetwork
+
+        table = GammaNetwork.apply(gamma_params, self._gamma_grid)[:, 0]
+        return _dc.replace(
+            self.edm,
+            schedule=NoiseSchedule(
+                gamma_table=table, timesteps=self.edm.T
+            ),
+        )
+
     def _loss_impl(self, params, x, h, n_nodes, weight, key, train, y=None):
+        edm = self.edm
+        if self._learned_gamma:
+            edm = self._learned_edm(params["gamma"])
+            params = params["model"]
         x, h, node_mask, edge_mask = self._prep(x, h, n_nodes)
         context = None
         if self._ctx_idx is not None:
@@ -227,7 +296,7 @@ class EDMTrainer:
                 ],
                 axis=0,
             ).astype(jnp.float32)
-        loss, aux = self.edm.loss(
+        loss, aux = edm.loss(
             params, key, x, h, node_mask, edge_mask, training=train,
             t_int=t_int, context=context,
         )

@@ -394,3 +394,61 @@ class TestBCEPredictor:
         np.testing.assert_array_equal(
             (y > np.asarray(tr._y_mid)).astype(float), y.round()
         )
+
+
+class TestLearnedGamma:
+    """Trainable GammaNetwork schedule (reference en_diffusion.py:233-272;
+    the reference trains it only through the VLB objective)."""
+
+    def _cfg(self, tiny_exp, **kw):
+        import dataclasses
+
+        _, cfg = tiny_exp
+        return dataclasses.replace(
+            cfg, diffusion_noise_schedule="learned",
+            diffusion_loss_type="vlb", name="tiny-lg", **kw
+        )
+
+    def test_l2_loss_is_rejected(self, tiny_exp):
+        import dataclasses
+
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        cfg = dataclasses.replace(
+            self._cfg(tiny_exp), diffusion_loss_type="l2"
+        )
+        with pytest.raises(ValueError, match="vlb"):
+            EDMTrainer(cfg)
+
+    def test_gamma_trains_and_schedule_refreshes(self, tiny_exp):
+        from gaudi_tpu.train.trainer_edm import EDMTrainer
+
+        tr = EDMTrainer(self._cfg(tiny_exp))
+        g0 = jax.tree.map(lambda a: np.asarray(a).copy(),
+                          tr.state.params["gamma"])
+        table0 = np.asarray(tr.edm.schedule.gamma_table).copy()
+
+        rng = np.random.default_rng(0)
+        m = tr.train_epoch(0, rng, jax.random.PRNGKey(0))
+        assert np.isfinite(m["loss"])
+        g1 = tr.state.params["gamma"]
+        moved = [
+            float(np.max(np.abs(np.asarray(b) - a)))
+            for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1))
+        ]
+        assert max(moved) > 0, "gamma params got no gradient signal"
+
+        # bake the learned net into the sampling schedule: table changes
+        # from the placeholder and stays monotone (VDM construction)
+        tr.refresh_learned_schedule()
+        table1 = np.asarray(tr.edm.schedule.gamma_table)
+        assert not np.allclose(table1, table0)
+        assert (np.diff(table1) >= -1e-5).all(), "learned gamma not monotone"
+
+        # samplers consume the learned schedule unchanged
+        x, h = tr.edm.sample(
+            tr.sampling_params, jax.random.PRNGKey(1),
+            jnp.ones((2, tr.cfg.max_nodes, 1)),
+            jnp.ones((2, tr.cfg.max_nodes, tr.cfg.max_nodes)),
+        )
+        assert np.isfinite(np.asarray(x)).all()
