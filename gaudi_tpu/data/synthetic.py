@@ -384,6 +384,19 @@ def _centers_pass(centers, type_idx, dataset, tol=0.075):
     return bool(r["dist_stable"] and r["connected"] and r["angels3"] and r["angels4"])
 
 
+def _skeleton_graph(mol: Molecule, dataset: str):
+    """(atom type indices, bond pairs) of the full skeleton incl. explicit H."""
+    from gaudi_tpu.data.mol import connectivity_matrix
+    from gaudi_tpu.data.rings import ATOMS_LIST
+
+    atoms = ATOMS_LIST[dataset]
+    adj = connectivity_matrix(mol).astype(bool)
+    iu = np.triu_indices(len(mol.elements), k=1)
+    pairs = np.stack([iu[0], iu[1]], axis=1)[adj[iu]]
+    types = np.array([atoms.index(e) for e in mol.elements], np.int64)
+    return types, pairs
+
+
 def _skeleton_chemically_valid(mol: Molecule, dataset: str) -> bool:
     """Reject radicaloid skeletons (no Kekulé structure), e.g. phenalenyl.
 
@@ -393,20 +406,30 @@ def _skeleton_chemically_valid(mol: Molecule, dataset: str) -> bool:
     evaluator uses (gaudi_tpu.eval_chem.valence) or the dataset itself
     caps achievable validity (measured 42% on unfiltered peri).
     """
-    from gaudi_tpu.data.mol import connectivity_matrix
-    from gaudi_tpu.data.rings import ATOMS_LIST
     from gaudi_tpu.eval_chem.valence import valence_valid
 
     # Keep the explicit H atoms: the evaluator (gor2goa h_slots) assigns
     # rim hydrogens explicitly, and for hetro a degree-2 B with its H has
     # valence residual 0 while the bare skeleton would demand a Kekulé
     # partner — dropping H makes the filter diverge from the evaluator.
-    atoms = ATOMS_LIST[dataset]
-    adj = connectivity_matrix(mol).astype(bool)
-    iu = np.triu_indices(len(mol.elements), k=1)
-    pairs = np.stack([iu[0], iu[1]], axis=1)[adj[iu]]
-    types = np.array([atoms.index(e) for e in mol.elements], np.int64)
+    types, pairs = _skeleton_graph(mol, dataset)
     return valence_valid(types, pairs, dataset)
+
+
+def _skeleton_identity(mol: Molecule, dataset: str) -> str:
+    """Chemical identity of the (deformation-invariant) skeleton graph.
+
+    The SAME identity function the uniqueness/novelty metric applies to
+    generated molecules (eval_chem.valence.molecule_hash), so generation-
+    time dedup bounds the eval's uniqueness ceiling directly. The previous
+    lattice-coordinate dedup key missed translated/rotated/reflected and
+    growth-order copies of the same free polyhex — the round-3 train split
+    held only 15.6% distinct identities (VERDICT r3 next-step #7).
+    """
+    from gaudi_tpu.eval_chem.valence import molecule_hash
+
+    types, pairs = _skeleton_graph(mol, dataset)
+    return molecule_hash(types, pairs, dataset)
 
 
 def generate_dataset(
@@ -448,8 +471,17 @@ def generate_dataset(
     allow_peri = dataset == "peri"
     rows = []
     seen = set()
+    seen_ids = set()
+    # Identity-dedup saturation guard: small ring counts have tiny molecule
+    # spaces (2 rings -> 1 catafusene); once a count produces only
+    # duplicates, stop drawing it instead of spinning. Real COMPAS-style
+    # enumerations also contain each small molecule exactly once.
+    dup_streak = {int(c): 0 for c in counts}
+    max_dup_streak = 200
     i = 0
     while len(rows) < n_molecules:
+        if probs.sum() <= 0:
+            break  # every ring count saturated — ship what we have
         n_rings = int(rng.choice(counts, p=probs))
         cells = _grow_patch(rng, n_rings, allow_peri=allow_peri)
         if allow_peri:
@@ -474,14 +506,31 @@ def generate_dataset(
         hetero_plan = {}
         if dataset == "hetro":
             hetero_plan = _plan_hetero(cells, rng, hetero_prob)
-        # dedup key depends only on the patch + hetero plan — reject
-        # duplicates BEFORE the expensive deform/oracle-filter loop
+        # two-stage dedup: the cheap lattice key short-circuits exact
+        # repeats BEFORE building the molecule; the chemical-identity key
+        # (the eval's own WL hash) then catches translated/rotated/
+        # reflected/growth-order copies the lattice key cannot see
+        def _dup(c):
+            dup_streak[c] += 1
+            if dup_streak[c] >= max_dup_streak:
+                probs[counts == c] = 0.0
+                s = probs.sum()
+                if s > 0:
+                    probs /= s
+
         canon = (tuple(cells), tuple(sorted(hetero_plan.items())))
         if canon in seen:
+            _dup(n_rings)
             continue
         mol, cell_vertices = _patch_to_molecule(
             cells, hetero_plan or None, return_cell_vertices=True
         )
+        ident = _skeleton_identity(mol, dataset)
+        if ident in seen_ids:
+            seen.add(canon)
+            _dup(n_rings)
+            continue
+        dup_streak[n_rings] = 0
         chem_valid = _skeleton_chemically_valid(mol, dataset)
         if not labeled and not chem_valid:
             continue
@@ -539,6 +588,7 @@ def generate_dataset(
         mol.coords = accepted
 
         seen.add(canon)
+        seen_ids.add(ident)
 
         save_xyz(os.path.join(xyz_dir, name + ".xyz"), mol, comment=name)
         row = {"molecule": name, "n_rings": n_rings}

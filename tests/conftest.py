@@ -30,3 +30,30 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Slow-test tiering: tests measured >=1s on the 1-CPU reference box are
+# listed in tests/slow_manifest.txt and auto-marked `slow` here, giving a
+# <2-min smoke tier via `pytest -m "not slow"` without scattering marks
+# through 27 test files. New tests are fast-by-default; re-measure with
+# `pytest --durations=0` and append to the manifest when they grow.
+# ---------------------------------------------------------------------------
+
+def _load_slow_manifest():
+    path = os.path.join(os.path.dirname(__file__), "slow_manifest.txt")
+    try:
+        with open(path) as f:
+            return {ln.strip() for ln in f if ln.strip() and not ln.startswith("#")}
+    except OSError:
+        return set()
+
+
+_SLOW = _load_slow_manifest()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if nodeid in _SLOW:
+            item.add_marker(pytest.mark.slow)
