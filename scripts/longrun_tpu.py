@@ -56,6 +56,11 @@ def main():
                          "e.g. 'VALID=1'")
     ap.add_argument("--eval-cfg-weight", type=float, default=0.0)
     ap.add_argument("--platform", default="")
+    ap.add_argument("--restore", default="",
+                    help="seed weights when exp_dir has no orbax state yet "
+                         "(committed artifact dir with weights.npz; the "
+                         "VM-recycle recovery path — optimizer state "
+                         "restarts fresh, params/EMA/step restore)")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +100,8 @@ def main():
 
     exp_dir = os.path.join(args.root, "summary", "longrun-edm")
     restore = exp_dir if os.path.exists(os.path.join(exp_dir, "model")) else None
+    if restore is None and args.restore:
+        restore = args.restore
     cfg = EDMConfig(
         dataset=args.dataset,
         csv_file=csv,
