@@ -25,7 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-layers", type=int, default=9)
     p.add_argument("--nf", type=int, default=192)
     p.add_argument("--diffusion-steps", type=int, default=1000)
-    p.add_argument("--noise-schedule", default="polynomial_2")
+    p.add_argument("--noise-schedule", default="polynomial_2",
+                   help="polynomial_<power> | cosine | learned (trainable "
+                        "VDM GammaNetwork; requires --loss-type vlb)")
+    p.add_argument("--loss-type", default="l2", choices=["l2", "vlb"],
+                   help="training objective (reference --diffusion_loss_type)")
     p.add_argument("--target-features", default="GAP_eV")
     p.add_argument("--max-nodes", type=int, default=11)
     p.add_argument("--restore", default=None)
@@ -76,6 +80,7 @@ def main(argv=None):
         nf=args.nf,
         diffusion_steps=args.diffusion_steps,
         diffusion_noise_schedule=args.noise_schedule,
+        diffusion_loss_type=args.loss_type,
         restore=args.restore,
         seed=args.seed,
         dtype=args.dtype,

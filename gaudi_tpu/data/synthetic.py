@@ -516,7 +516,8 @@ def generate_dataset(
                 probs[counts == c] = 0.0
                 s = probs.sum()
                 if s > 0:
-                    probs /= s
+                    # in-place: `probs /= s` would rebind the closure name
+                    probs[:] = probs / s
 
         canon = (tuple(cells), tuple(sorted(hetero_plan.items())))
         if canon in seen:

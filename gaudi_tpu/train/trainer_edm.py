@@ -398,6 +398,7 @@ class EDMTrainer:
             from gaudi_tpu.sampling import Sampler, to_molecule_list
             from gaudi_tpu.utils.plotting import plot_chain, plot_graph_of_rings
 
+            self.refresh_learned_schedule()  # no-op unless schedule='learned'
             cfg = self.cfg
             sampler = Sampler(self.edm, cfg.max_nodes, self._orientation,
                               dataset=cfg.dataset)

@@ -18,7 +18,7 @@ if ! mkdir /tmp/r6_datagen.lock 2>/dev/null; then
 fi
 echo "r6_datagen start $(date)" >> $LOG
 
-gen() {  # gen <root> <dataset> <n> <seed>
+gen() {  # gen <root> <dataset> <n> <seed> — DONE only if the csv exists
   local root=$1 ds=$2 n=$3 seed=$4
   [ -f "$root/$ds.csv" ] && { echo "$root/$ds.csv exists, skip" >> $LOG; return 0; }
   JAX_PLATFORMS=cpu nice -n 10 timeout 14400 python - >> $LOG 2>&1 <<PY
@@ -28,13 +28,23 @@ t0 = time.time()
 csv = generate_dataset("$root", "$ds", n_molecules=$n, seed=$seed)
 print(f"$ds n=$n seed=$seed done in {time.time()-t0:.0f}s -> {csv}", flush=True)
 PY
+  [ -f "$root/$ds.csv" ]
 }
 
-gen runs/r6c cata 16000 10
-echo "CATA16K DONE $(date)" >> $LOG
-gen runs/r6p peri 16000 11
-echo "PERI16K DONE $(date)" >> $LOG
-gen runs/r6h hetro 39000 12
-echo "HETRO39K DONE $(date)" >> $LOG
+if gen runs/r6c cata 16000 10; then
+  echo "CATA16K DONE $(date)" >> $LOG
+else
+  echo "CATA16K FAILED $(date)" >> $LOG
+fi
+if gen runs/r6p peri 16000 11; then
+  echo "PERI16K DONE $(date)" >> $LOG
+else
+  echo "PERI16K FAILED $(date)" >> $LOG
+fi
+if gen runs/r6h hetro 39000 12; then
+  echo "HETRO39K DONE $(date)" >> $LOG
+else
+  echo "HETRO39K FAILED $(date)" >> $LOG
+fi
 echo "r6_datagen done $(date)" >> $LOG
 rmdir /tmp/r6_datagen.lock

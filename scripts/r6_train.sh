@@ -58,7 +58,11 @@ PY
 }
 
 wait_marker runs/r6_evidence.log "r6_evidence done" 120
-wait_marker runs/r6_datagen.log "CATA16K DONE" 240
+if ! wait_marker runs/r6_datagen.log "CATA16K DONE" 240; then
+  echo "cata data never arrived; aborting chain $(date)" >> $LOG
+  rmdir /tmp/r6_train.lock
+  exit 1
+fi
 tpu_probe
 
 # ---------------- stage P5: 5-target predictor ---------------------------
@@ -126,7 +130,10 @@ commit_paths "Evidence: cata round-4 continuation evals + uniqueness baseline" \
   $EV/ce_uniqueness_baseline.json
 
 # ---------------- stage HM: hetro continuation on deduped 39k ------------
-wait_marker runs/r6_datagen.log "HETRO39K DONE" 360
+HM_OK=1
+wait_marker runs/r6_datagen.log "HETRO39K DONE" 360 || HM_OK=0
+[ -f runs/r6h/hetro.csv ] || HM_OK=0
+if [ "$HM_OK" = 1 ]; then
 tpu_probe
 timeout 8000 python scripts/longrun_tpu.py --root runs/r6h --dataset hetro \
   --molecules 39000 --restore artifacts/hetro-edm \
@@ -167,9 +174,15 @@ echo "HM_EVALS DONE $(date)" >> $LOG
 commit_paths "Evidence: hetro round-4 continuation evals (deduped 39k)" \
   $EV/hm_eval_raw.log $EV/hm_eval_polish.log $EV/hm_eval_vclf.log \
   $EV/hm_eval_reject.log
+else
+  echo "HM SKIPPED (no data) $(date)" >> $LOG
+fi
 
 # ---------------- stage PF: peri fine-tune continuation ------------------
-wait_marker runs/r6_datagen.log "PERI16K DONE" 60
+PF_OK=1
+wait_marker runs/r6_datagen.log "PERI16K DONE" 60 || PF_OK=0
+[ -f runs/r6p/peri.csv ] || PF_OK=0
+if [ "$PF_OK" = 1 ]; then
 tpu_probe
 timeout 5400 python scripts/longrun_tpu.py --root runs/r6p --dataset peri \
   --molecules 16000 --restore artifacts/peri-edm \
@@ -202,6 +215,9 @@ timeout 3600 python -m gaudi_tpu.cli.eval_validity \
 echo "PF_EVALS DONE $(date)" >> $LOG
 commit_paths "Evidence: peri round-4 continuation evals" \
   $EV/pf_eval_raw.log $EV/pf_eval_polish.log $EV/pf_eval_reject.log
+else
+  echo "PF SKIPPED (no data) $(date)" >> $LOG
+fi
 
 # ---------------- stage BW: bench warm (production pipeline) -------------
 tpu_probe
