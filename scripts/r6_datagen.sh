@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-4 host datagen chain (CPU-only; runs nice'd so the TPU legs' host
+# Round-4 host datagen chain (CPU-only; runs at nice 2 so the TPU legs' host
 # side stays responsive on this 1-CPU box). All three sets use the new
 # identity-dedup generator (data/synthetic.py), so every row is a distinct
 # chemical identity — the round-3 uniqueness ceiling (15.6% distinct train
@@ -21,7 +21,7 @@ echo "r6_datagen start $(date)" >> $LOG
 gen() {  # gen <root> <dataset> <n> <seed> — DONE only if the csv exists
   local root=$1 ds=$2 n=$3 seed=$4
   [ -f "$root/$ds.csv" ] && { echo "$root/$ds.csv exists, skip" >> $LOG; return 0; }
-  JAX_PLATFORMS=cpu nice -n 10 timeout 14400 python - >> $LOG 2>&1 <<PY
+  JAX_PLATFORMS=cpu nice -n 2 timeout 14400 python - >> $LOG 2>&1 <<PY
 import time
 from gaudi_tpu.data.synthetic import generate_dataset
 t0 = time.time()
