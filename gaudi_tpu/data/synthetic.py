@@ -416,6 +416,30 @@ def _skeleton_chemically_valid(mol: Molecule, dataset: str) -> bool:
     return valence_valid(types, pairs, dataset)
 
 
+def _canonical_cells(cells) -> tuple:
+    """Canonical form of a hexagon-cell patch under the 12 lattice
+    isometries (6 rotations x optional reflection) + translation.
+
+    Axial coords (q, r) with cube relations x=q, z=r, y=-x-z:
+    rot60 maps (x,y,z)->(-z,-x,-y) i.e. (q,r)->(-r, q+r); the reflection
+    swaps y/z i.e. (q,r)->(q, -q-r). Translation is canonicalized by
+    subtracting the component-wise minima. Used as a FAST dedup pre-filter
+    (pure integer ops) in front of the WL-identity check — duplicate draws
+    then cost no molecule build / graph hash.
+    """
+    best = None
+    for reflect in (False, True):
+        pts = [(q, -q - r) for q, r in cells] if reflect else list(cells)
+        for _ in range(6):
+            pts = [(-r, q + r) for q, r in pts]
+            qmin = min(p[0] for p in pts)
+            rmin = min(p[1] for p in pts)
+            cand = tuple(sorted((q - qmin, r - rmin) for q, r in pts))
+            if best is None or cand < best:
+                best = cand
+    return best
+
+
 def _skeleton_identity(mol: Molecule, dataset: str) -> str:
     """Chemical identity of the (deformation-invariant) skeleton graph.
 
@@ -472,6 +496,7 @@ def generate_dataset(
     rows = []
     seen = set()
     seen_ids = set()
+    seen_canon = set()
     # Identity-dedup saturation guard: small ring counts have tiny molecule
     # spaces (2 rings -> 1 catafusene); once a count produces only
     # duplicates, stop drawing it instead of spinning. Real COMPAS-style
@@ -523,12 +548,24 @@ def generate_dataset(
         if canon in seen:
             _dup(n_rings)
             continue
+        # fast isometry-aware pre-filter (integer ops only): for patches
+        # without substitutions the canonical cell form determines the
+        # molecule, so duplicate draws skip the molecule build + WL hash
+        ccells = None
+        if not hetero_plan:
+            ccells = _canonical_cells(cells)
+            if ccells in seen_canon:
+                seen.add(canon)
+                _dup(n_rings)
+                continue
         mol, cell_vertices = _patch_to_molecule(
             cells, hetero_plan or None, return_cell_vertices=True
         )
         ident = _skeleton_identity(mol, dataset)
         if ident in seen_ids:
             seen.add(canon)
+            if ccells is not None:
+                seen_canon.add(ccells)
             _dup(n_rings)
             continue
         dup_streak[n_rings] = 0
@@ -590,6 +627,8 @@ def generate_dataset(
 
         seen.add(canon)
         seen_ids.add(ident)
+        if ccells is not None:
+            seen_canon.add(ccells)
 
         save_xyz(os.path.join(xyz_dir, name + ".xyz"), mol, comment=name)
         row = {"molecule": name, "n_rings": n_rings}
