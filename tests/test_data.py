@@ -328,3 +328,16 @@ class TestIdentityDedup:
         df = pd.read_csv(csv)
         assert len(df) == 3
         assert sorted(df.n_rings) == [2, 3, 3]
+
+    def test_canonical_cells_isometry_invariant(self):
+        import numpy as np
+
+        from gaudi_tpu.data.synthetic import _canonical_cells, _grow_patch
+
+        rng = np.random.default_rng(0)
+        for _ in range(40):
+            cells = _grow_patch(rng, int(rng.integers(2, 11)))
+            base = _canonical_cells(cells)
+            assert _canonical_cells([(q + 3, r - 2) for q, r in cells]) == base
+            assert _canonical_cells([(-r, q + r) for q, r in cells]) == base
+            assert _canonical_cells([(q, -q - r) for q, r in cells]) == base
