@@ -56,41 +56,61 @@ def _grow_patch(
     cata mode (allow_peri=False) keeps the patch triangle-free in the dual
     (no atom belongs to 3 rings); peri mode allows arbitrary connected
     patches (pyrene/coronene-like fusions).
+
+    Growth style: uniform-over-candidates growth (an Eden model) piles its
+    probability mass on compact blobs — under identity dedup the generator
+    hits ~99% duplicate draws at a few percent space coverage. Each patch
+    therefore draws a `style` in [0, 1): with probability `style` the next
+    cell extends the MOST RECENTLY added cell (chain/spiral growth), else
+    it is uniform over all frontier candidates. style~U interpolates
+    compact <-> linear and spreads the distribution over vastly more
+    distinct shapes (acenes, zigzags, branches all become likely).
     """
+    def _cands_at(cells, frontier):
+        out = []
+        for (q, r) in frontier:
+            for dq, dr in _AXIAL_DIRS:
+                c = (q + dq, r + dr)
+                if c in cells:
+                    continue
+                if allow_peri:
+                    out.append(c)
+                    continue
+                # triangle-free: no two existing neighbors of c adjacent
+                neigh = [
+                    (c[0] + dq2, c[1] + dr2)
+                    for dq2, dr2 in _AXIAL_DIRS
+                    if (c[0] + dq2, c[1] + dr2) in cells
+                ]
+                tri = False
+                for i in range(len(neigh)):
+                    for j in range(i + 1, len(neigh)):
+                        dd = (
+                            neigh[i][0] - neigh[j][0],
+                            neigh[i][1] - neigh[j][1],
+                        )
+                        if dd in _AXIAL_DIRS:
+                            tri = True
+                if not tri:
+                    out.append(c)
+        return out
+
     for _ in range(max_tries):
         cells = {(0, 0)}
+        last = (0, 0)
+        style = rng.random()
         ok = True
         while len(cells) < n_rings:
             candidates = []
-            for (q, r) in cells:
-                for dq, dr in _AXIAL_DIRS:
-                    c = (q + dq, r + dr)
-                    if c in cells:
-                        continue
-                    if allow_peri:
-                        candidates.append(c)
-                        continue
-                    # triangle-free: no two existing neighbors of c adjacent
-                    neigh = [
-                        (c[0] + dq2, c[1] + dr2)
-                        for dq2, dr2 in _AXIAL_DIRS
-                        if (c[0] + dq2, c[1] + dr2) in cells
-                    ]
-                    tri = False
-                    for i in range(len(neigh)):
-                        for j in range(i + 1, len(neigh)):
-                            dd = (
-                                neigh[i][0] - neigh[j][0],
-                                neigh[i][1] - neigh[j][1],
-                            )
-                            if dd in _AXIAL_DIRS:
-                                tri = True
-                    if not tri:
-                        candidates.append(c)
+            if rng.random() < style:
+                candidates = _cands_at(cells, [last])
+            if not candidates:
+                candidates = _cands_at(cells, cells)
             if not candidates:
                 ok = False
                 break
-            cells.add(tuple(candidates[rng.integers(len(candidates))]))
+            last = tuple(candidates[rng.integers(len(candidates))])
+            cells.add(last)
         if ok:
             return sorted(cells)
     raise RuntimeError(f"could not grow patch of {n_rings} rings")
