@@ -517,6 +517,10 @@ def generate_dataset(
     seen = set()
     seen_ids = set()
     seen_canon = set()
+    stats = {"draws": 0, "shapefail": 0, "dup": 0, "chem": 0, "deformfail": 0}
+    import time as _time
+
+    t_start = _time.time()
     # Identity-dedup saturation guard: small ring counts have tiny molecule
     # spaces (2 rings -> 1 catafusene); once a count produces only
     # duplicates, stop drawing it instead of spinning. Real COMPAS-style
@@ -528,6 +532,7 @@ def generate_dataset(
         if probs.sum() <= 0:
             break  # every ring count saturated — ship what we have
         n_rings = int(rng.choice(counts, p=probs))
+        stats["draws"] += 1
         cells = _grow_patch(rng, n_rings, allow_peri=allow_peri)
         if allow_peri:
             # validate against the ground-truth extractor: enclosed voids or
@@ -537,13 +542,16 @@ def generate_dataset(
             try:
                 rg = extract_ring_graph(_patch_to_molecule(cells), "peri")
             except ValueError:
+                stats["shapefail"] += 1
                 continue
             if rg.n_rings != n_rings:
+                stats["shapefail"] += 1
                 continue
         elif not _is_catafusene(cells, n_rings):
             # planar-helicene fjord closure or void enclosure — the planar
             # idealization cannot represent these (real ones are nonplanar);
             # draw another patch.
+            stats["shapefail"] += 1
             continue
         name = f"{dataset}_{i:06d}"
         i += 1
@@ -576,6 +584,7 @@ def generate_dataset(
             ccells = _canonical_cells(cells)
             if ccells in seen_canon:
                 seen.add(canon)
+                stats["dup"] += 1
                 _dup(n_rings)
                 continue
         mol, cell_vertices = _patch_to_molecule(
@@ -586,11 +595,20 @@ def generate_dataset(
             seen.add(canon)
             if ccells is not None:
                 seen_canon.add(ccells)
+            stats["dup"] += 1
             _dup(n_rings)
             continue
         dup_streak[n_rings] = 0
         chem_valid = _skeleton_chemically_valid(mol, dataset)
         if not labeled and not chem_valid:
+            # blacklist: an invalid skeleton can never ship, so future
+            # redraws of the same shape short-circuit at the cheap dedup
+            # keys instead of re-paying molecule build + Kekulé matching
+            seen.add(canon)
+            seen_ids.add(ident)
+            if ccells is not None:
+                seen_canon.add(ccells)
+            stats["chem"] += 1
             continue
 
         # Out-of-plane bend/twist + jitter, oracle-filtered through the
@@ -642,6 +660,7 @@ def generate_dataset(
                 break
             shrink *= 0.6
         if accepted is None:
+            stats["deformfail"] += 1
             continue
         mol.coords = accepted
 
@@ -650,6 +669,12 @@ def generate_dataset(
         if ccells is not None:
             seen_canon.add(ccells)
 
+        if len(rows) % 500 == 0:
+            print(
+                f"[synthetic] {len(rows)} accepted in "
+                f"{_time.time()-t_start:.0f}s  {stats}",
+                flush=True,
+            )
         save_xyz(os.path.join(xyz_dir, name + ".xyz"), mol, comment=name)
         row = {"molecule": name, "n_rings": n_rings}
         row.update(_huckel_targets(mol, rng))
