@@ -524,9 +524,12 @@ def generate_dataset(
     # Identity-dedup saturation guard: small ring counts have tiny molecule
     # spaces (2 rings -> 1 catafusene); once a count produces only
     # duplicates, stop drawing it instead of spinning. Real COMPAS-style
-    # enumerations also contain each small molecule exactly once.
+    # enumerations also contain each small molecule exactly once. The
+    # retirement threshold is adaptive — a count that has yielded many
+    # distinct molecules earns a proportionally longer leash (200 + 10x
+    # accepts), so chem-blacklist hits on rich counts cannot retire them.
     dup_streak = {int(c): 0 for c in counts}
-    max_dup_streak = 200
+    accepts_by_count = {int(c): 0 for c in counts}
     i = 0
     while len(rows) < n_molecules:
         if probs.sum() <= 0:
@@ -565,7 +568,7 @@ def generate_dataset(
         # reflected/growth-order copies the lattice key cannot see
         def _dup(c):
             dup_streak[c] += 1
-            if dup_streak[c] >= max_dup_streak:
+            if dup_streak[c] >= 200 + 10 * accepts_by_count[c]:
                 probs[counts == c] = 0.0
                 s = probs.sum()
                 if s > 0:
@@ -666,6 +669,7 @@ def generate_dataset(
 
         seen.add(canon)
         seen_ids.add(ident)
+        accepts_by_count[n_rings] += 1
         if ccells is not None:
             seen_canon.add(ccells)
 
