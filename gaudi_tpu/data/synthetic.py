@@ -525,9 +525,12 @@ def generate_dataset(
     # spaces (2 rings -> 1 catafusene); once a count produces only
     # duplicates, stop drawing it instead of spinning. Real COMPAS-style
     # enumerations also contain each small molecule exactly once. The
-    # retirement threshold is adaptive — a count that has yielded many
-    # distinct molecules earns a proportionally longer leash (200 + 10x
-    # accepts), so chem-blacklist hits on rich counts cannot retire them.
+    # retirement threshold: 400 consecutive duplicate draws (~2 s of
+    # generator time) without one new molecule retires the count — the
+    # marginal cost of the next distinct molecule has exceeded ~2 s, and
+    # the generator ships the economically reachable set instead of
+    # grinding the coupon-collector tail. When every count retires,
+    # the loop breaks and the csv is written with what exists.
     dup_streak = {int(c): 0 for c in counts}
     accepts_by_count = {int(c): 0 for c in counts}
     i = 0
@@ -568,7 +571,7 @@ def generate_dataset(
         # reflected/growth-order copies the lattice key cannot see
         def _dup(c):
             dup_streak[c] += 1
-            if dup_streak[c] >= 200 + 10 * accepts_by_count[c]:
+            if dup_streak[c] >= 400:
                 probs[counts == c] = 0.0
                 s = probs.sum()
                 if s > 0:
