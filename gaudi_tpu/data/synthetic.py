@@ -121,12 +121,16 @@ def _grow_cata_patch(rng: np.random.Generator, n_rings: int, max_tries: int = 20
 
 
 def _patch_to_molecule(
-    cells, hetero_plan=None, return_cell_vertices=False
+    cells, hetero_plan=None, return_cell_vertices=False, return_bonds=False
 ):
     """Hexagon cells -> atoms (C skeleton + rim H), optional substitutions.
 
     hetero_plan: optional {cell_index: (ring_type_name, element, positions)}
     where positions are vertex slots (0..5) to substitute with the element.
+    return_bonds additionally yields the CONSTRUCTED bond list (lattice
+    C-C pairs + each rim H to its carrier) — the intended topology, free
+    of the spurious proximity contacts a crowded fjord has in the planar
+    embedding (see the clash-resolution step in generate_dataset).
     """
     # Unique vertices: each hexagon's 6 vertices at angles 30 + 60k.
     verts = {}
@@ -161,6 +165,8 @@ def _patch_to_molecule(
 
     # Rim decoration: degree-2 heavy atoms get one H pointing outward
     # (boron rim atoms get H too -> DhDb semantics).
+    iu = np.triu_indices(n, k=1)
+    bonds = [(int(a), int(b)) for a, b in zip(*iu) if adj[a, b]]
     coords = [np.array([p[0], p[1], 0.0]) for p in coords2]
     for i in range(n):
         deg = int(adj[i].sum())
@@ -169,13 +175,17 @@ def _patch_to_molecule(
             out = coords2[i] - coords2[neighbors].mean(axis=0)
             out = out / (np.linalg.norm(out) + 1e-12)
             hpos = coords2[i] + BOND_CH * out
+            bonds.append((i, len(coords)))
             coords.append(np.array([hpos[0], hpos[1], 0.0]))
             elements.append("H")
 
     mol = Molecule(elements, np.stack(coords))
+    out = (mol,)
     if return_cell_vertices:
-        return mol, cell_vertices
-    return mol
+        out = out + (cell_vertices,)
+    if return_bonds:
+        out = out + (bonds,)
+    return out if len(out) > 1 else mol
 
 
 def _huckel_targets(mol: Molecule, rng: np.random.Generator) -> dict:
@@ -404,20 +414,30 @@ def _centers_pass(centers, type_idx, dataset, tol=0.075):
     return bool(r["dist_stable"] and r["connected"] and r["angels3"] and r["angels4"])
 
 
-def _skeleton_graph(mol: Molecule, dataset: str):
-    """(atom type indices, bond pairs) of the full skeleton incl. explicit H."""
-    from gaudi_tpu.data.mol import connectivity_matrix
+def _skeleton_graph(mol: Molecule, dataset: str, pairs=None):
+    """(atom type indices, bond pairs) of the full skeleton incl. explicit H.
+
+    pairs: pass the CONSTRUCTED lattice bonds (from _patch_to_molecule) to
+    use the intended topology; default derives bonds from geometry (valid
+    for shipped molecules, whose final geometry is checked to reproduce
+    the intended topology exactly).
+    """
     from gaudi_tpu.data.rings import ATOMS_LIST
 
     atoms = ATOMS_LIST[dataset]
-    adj = connectivity_matrix(mol).astype(bool)
-    iu = np.triu_indices(len(mol.elements), k=1)
-    pairs = np.stack([iu[0], iu[1]], axis=1)[adj[iu]]
+    if pairs is None:
+        from gaudi_tpu.data.mol import connectivity_matrix
+
+        adj = connectivity_matrix(mol).astype(bool)
+        iu = np.triu_indices(len(mol.elements), k=1)
+        pairs = np.stack([iu[0], iu[1]], axis=1)[adj[iu]]
+    else:
+        pairs = np.asarray(pairs, np.int64)
     types = np.array([atoms.index(e) for e in mol.elements], np.int64)
     return types, pairs
 
 
-def _skeleton_chemically_valid(mol: Molecule, dataset: str) -> bool:
+def _skeleton_chemically_valid(mol: Molecule, dataset: str, pairs=None) -> bool:
     """Reject radicaloid skeletons (no Kekulé structure), e.g. phenalenyl.
 
     Peri-fused patches frequently carry an odd pi-electron count; the real
@@ -432,8 +452,66 @@ def _skeleton_chemically_valid(mol: Molecule, dataset: str) -> bool:
     # rim hydrogens explicitly, and for hetro a degree-2 B with its H has
     # valence residual 0 while the bare skeleton would demand a Kekulé
     # partner — dropping H makes the filter diverge from the evaluator.
-    types, pairs = _skeleton_graph(mol, dataset)
+    types, pairs = _skeleton_graph(mol, dataset, pairs)
     return valence_valid(types, pairs, dataset)
+
+
+def _resolve_clashes(coords, bonds, elements, rng,
+                     s_grid=(0.5, 0.7, 0.9, 1.2, 1.5)):
+    """Out-of-plane resolution of planar fjord/cove crowding (helicenes).
+
+    83% of distinct catafusene shapes carry rim H contacts the PLANAR
+    embedding cannot avoid (facing bay/fjord hydrogens within covalent
+    cutoff) — real such molecules twist out of plane (the reference's own
+    dihedral stability windows extend to ~44 deg, utils/helpers.py:54-63).
+    For each clash pair (non-bonded atoms closer than 2.0 A) this applies
+    a smooth opposing z-displacement field decaying with GRAPH distance
+    (clash partners are spatially close but graph-far, so local bond
+    geometry moves coherently). Returns resolved coords (smallest s whose
+    proximity graph matches the intended bonds) or None.
+    """
+    import networkx as nx
+
+    from gaudi_tpu.data.mol import connectivity_matrix
+
+    n = len(elements)
+    d0 = np.linalg.norm(coords[:, None] - coords[None], axis=-1)
+    bonded = np.zeros((n, n), bool)
+    for a, b in bonds:
+        bonded[a, b] = bonded[b, a] = True
+    iu = np.triu_indices(n, 1)
+    clash = [
+        (int(i), int(j))
+        for i, j in zip(*iu)
+        if not bonded[i, j] and d0[i, j] < 2.0
+    ]
+    if not clash:
+        return coords
+    g = nx.Graph(list(bonds))
+    g.add_nodes_from(range(n))
+    dist_cache = {}
+
+    def gdist(a):
+        if a not in dist_cache:
+            dist_cache[a] = nx.single_source_shortest_path_length(g, a)
+        return dist_cache[a]
+
+    from gaudi_tpu.data.mol import Molecule as _M
+
+    for s in s_grid:
+        z = np.zeros(n)
+        for (a, b) in clash:
+            da, db = gdist(a), gdist(b)
+            for i in range(n):
+                z[i] += s * (
+                    np.exp(-da.get(i, 99) / 6.0) - np.exp(-db.get(i, 99) / 6.0)
+                ) / 2.0
+        d = coords.copy()
+        d[:, 2] += z
+        adj = connectivity_matrix(_M(list(elements), d)).astype(bool)
+        if (adj == bonded).all():
+            return d
+    return None
 
 
 def _canonical_cells(cells) -> tuple:
@@ -460,7 +538,7 @@ def _canonical_cells(cells) -> tuple:
     return best
 
 
-def _skeleton_identity(mol: Molecule, dataset: str) -> str:
+def _skeleton_identity(mol: Molecule, dataset: str, pairs=None) -> str:
     """Chemical identity of the (deformation-invariant) skeleton graph.
 
     The SAME identity function the uniqueness/novelty metric applies to
@@ -472,7 +550,7 @@ def _skeleton_identity(mol: Molecule, dataset: str) -> str:
     """
     from gaudi_tpu.eval_chem.valence import molecule_hash
 
-    types, pairs = _skeleton_graph(mol, dataset)
+    types, pairs = _skeleton_graph(mol, dataset, pairs)
     return molecule_hash(types, pairs, dataset)
 
 
@@ -593,10 +671,11 @@ def generate_dataset(
                 stats["dup"] += 1
                 _dup(n_rings)
                 continue
-        mol, cell_vertices = _patch_to_molecule(
-            cells, hetero_plan or None, return_cell_vertices=True
+        mol, cell_vertices, bonds = _patch_to_molecule(
+            cells, hetero_plan or None, return_cell_vertices=True,
+            return_bonds=True,
         )
-        ident = _skeleton_identity(mol, dataset)
+        ident = _skeleton_identity(mol, dataset, pairs=bonds)
         if ident in seen_ids:
             seen.add(canon)
             if ccells is not None:
@@ -605,7 +684,7 @@ def generate_dataset(
             _dup(n_rings)
             continue
         dup_streak[n_rings] = 0
-        chem_valid = _skeleton_chemically_valid(mol, dataset)
+        chem_valid = _skeleton_chemically_valid(mol, dataset, pairs=bonds)
         if not labeled and not chem_valid:
             # blacklist: an invalid skeleton can never ship, so future
             # redraws of the same shape short-circuit at the cheap dedup
@@ -636,8 +715,23 @@ def generate_dataset(
         cv_idx = [np.array(cv) for cv in cell_vertices]
         from gaudi_tpu.data.mol import connectivity_matrix
 
-        adj_planar = connectivity_matrix(mol)
-        coords_planar = mol.coords
+        # intended topology = the constructed lattice bonds; a crowded
+        # fjord's PLANAR geometry contains extra proximity contacts, which
+        # the targeted z-bump resolves (real helicene-like molecules)
+        n_atoms = len(mol.elements)
+        adj_intended = np.zeros((n_atoms, n_atoms), np.int8)
+        for a, b in bonds:
+            adj_intended[a, b] = adj_intended[b, a] = 1
+        coords_planar = _resolve_clashes(mol.coords, bonds, mol.elements, rng)
+        if coords_planar is None:
+            # unresolvable crowding: blacklist the shape like any other
+            # unshippable skeleton
+            seen.add(canon)
+            seen_ids.add(ident)
+            if ccells is not None:
+                seen_canon.add(ccells)
+            stats["clashfail"] = stats.get("clashfail", 0) + 1
+            continue
         shrink = 1.0
         accepted = None
         # bounded: a skeleton whose reconstruction cannot reproduce its own
@@ -655,7 +749,7 @@ def generate_dataset(
             # self-intersect (helicene overlap), creating spurious covalent
             # contacts that change the extracted ring count
             if (
-                (connectivity_matrix(mol) == adj_planar).all()
+                (connectivity_matrix(mol) == adj_intended).all()
                 and _centers_pass(centers, type_idx, dataset)
                 and _roundtrip_valid(
                     centers, type_idx, hetero_plan, cell_vertices, d, dataset,
