@@ -34,6 +34,10 @@ class EDMConfig:
     name: str = "cata-test"
     restore: Optional[str] = None
     lr: float = 1e-3
+    # linear lr warmup 0 -> lr over this many steps; 0 = reference behavior
+    # (constant lr). Used for continuations restored from weights-only
+    # artifacts, where the optimizer's second moments restart cold.
+    lr_warmup_steps: int = 0
     num_epochs: int = 1000
     batch_size: int = 256
     clip_grad: bool = True

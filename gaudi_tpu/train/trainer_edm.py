@@ -122,7 +122,10 @@ class EDMTrainer:
 
         self.in_node_nf = self.train_ds.n_classes
         self.model, self.edm = build_edm(cfg, self.in_node_nf)
-        self.optimizer = make_optimizer(cfg.lr, clip=cfg.clip_grad)
+        self.optimizer = make_optimizer(
+            cfg.lr, clip=cfg.clip_grad,
+            warmup_steps=getattr(cfg, "lr_warmup_steps", 0),
+        )
 
         # Conditional EDM: indices of the conditioning columns within the
         # dataset's (normalized) target vector (config.py context_features).

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--ema", type=float, default=0.999)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr-warmup", type=int, default=0,
+                    help="linear lr warmup steps (use ~500 when restoring "
+                         "from a weights-only artifact: cold amsgrad moments "
+                         "at full lr damage converged weights)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nf", type=int, default=192)
     ap.add_argument("--n-layers", type=int, default=9)
@@ -114,6 +118,7 @@ def main():
         save_dir=os.path.join(args.root, "summary"),
         batch_size=args.batch_size,
         lr=args.lr,
+        lr_warmup_steps=args.lr_warmup,
         nf=args.nf,
         n_layers=args.n_layers,
         diffusion_steps=args.diffusion_steps,
