@@ -211,8 +211,10 @@ class AromaticDataset:
             cfg, df, os.path.join(cache_dir, f"{task}_{sig}.npz")
         )
         # identity cache for novelty eval (bump the suffix when the
-        # chemistry judge changes semantics)
-        self._ids_path = os.path.join(cache_dir, f"{task}_{sig}_ids1.npz")
+        # chemistry judge changes semantics; ids2 = row-aligned, "" for
+        # judge-invalid rows — ids1 was valid-compacted and misaligned
+        # against per-row data on splits with any invalid rows)
+        self._ids_path = os.path.join(cache_dir, f"{task}_{sig}_ids2.npz")
 
         t = max(len(cfg.targets), 1)
         if cfg.normalize and mean is not None:
@@ -245,6 +247,9 @@ class AromaticDataset:
     def chem_identities(self, n_workers: int = 0) -> list:
         """Identity strings (InChI/WL) of this split's molecules, disk-cached.
 
+        Row-aligned with `self.data`: entry i is "" when row i judges
+        invalid, so identities can be paired with n_nodes/targets.
+
         Novelty eval needs the training set's identities on every
         invocation; recomputing them pushes the whole split through
         GOR->GOA + judging (~30 s for 27k molecules on one core), so the
@@ -272,7 +277,10 @@ class AromaticDataset:
             mols.append((xi, ti))
         ids = analyze_chemical_validity_for_molecules(
             mols, dataset=self.cfg.dataset, n_workers=n_workers
-        )["valid_identity"]
+        )["identity_by_row"]
+        # row-aligned: one entry per split row, "" where the judge said
+        # invalid, so callers can pair identities with n_nodes/targets
+        ids = ["" if s is None else s for s in ids]
         arr = np.array(ids, dtype=np.str_)
         try:
             np.savez_compressed(self._ids_path, ids=arr)

@@ -145,6 +145,13 @@ def analyze_chemical_validity_for_molecules(
         "mol_unique": len(set(identities)) / max(len(identities), 1),
         "molecule_valid_bool": valid_bool,
         "valid_identity": identities,
+        # row-aligned variant (None where the molecule judged invalid):
+        # valid_identity compacts to valid molecules only, so any caller
+        # pairing identities with per-row data (node counts, targets) must
+        # use this key — the hetro train split showed the hazard, where
+        # 155/24300 generator rows judge invalid and a zip against
+        # valid_identity silently misaligns everything after row 1.
+        "identity_by_row": identity,
     }
     if train_identities is not None:
         novel = set(identities) - set(train_identities)

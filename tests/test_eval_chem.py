@@ -190,3 +190,22 @@ class TestChemicalMetrics:
             cata_molecules[:5], dataset="cata", train_identities=[]
         )
         assert cd["mol_novel"] == 1.0
+
+    def test_identity_by_row_stays_aligned_with_invalid_rows(
+        self, cata_molecules
+    ):
+        # valid_identity compacts to valid molecules; identity_by_row must
+        # keep one entry per input row (None on invalid) so callers can
+        # pair identities with per-row data. Regression for the hetro
+        # train split, where 155/24300 judge-invalid rows silently
+        # misaligned the uniqueness baseline's node-count grouping.
+        bad = (np.zeros((2, 3)), np.zeros(2, np.int64))  # degenerate: invalid
+        mols = [cata_molecules[0], bad, cata_molecules[1]]
+        cd = analyze_chemical_validity_for_molecules(mols, dataset="cata")
+        assert len(cd["identity_by_row"]) == 3
+        assert cd["identity_by_row"][1] is None
+        assert cd["identity_by_row"][0] is not None
+        assert cd["identity_by_row"][2] is not None
+        assert cd["valid_identity"] == [
+            s for s in cd["identity_by_row"] if s is not None
+        ]
