@@ -289,8 +289,12 @@ def main(argv=None):
 
     train_ids = None
     if args.novelty:
-        # disk-cached next to the geometry cache: warm calls are instant
-        train_ids = trainer.train_ds.chem_identities(args.eval_workers)
+        # disk-cached next to the geometry cache: warm calls are instant.
+        # chem_identities() is row-aligned ("" for judge-invalid rows);
+        # drop the empties so they never enter the novelty reference set.
+        train_ids = [
+            i for i in trainer.train_ds.chem_identities(args.eval_workers) if i
+        ]
 
     def evaluate(ms, ids=None):
         sd, _ = analyze_validity_for_molecules(ms, tol=args.tol, dataset=cfg.dataset)

@@ -35,6 +35,16 @@ def load_checkpoint(
     Restore args are constructed from the target so checkpoints written on
     one device type (e.g. TPU) restore onto another (e.g. CPU) — orbax
     otherwise refuses with a missing-sharding error.
+
+    Known structure break (documented, not papered over): the lr-warmup
+    change wrapped the lr in an optax schedule even when warmup is off,
+    which adds a ScaleByScheduleState count leaf to the optimizer state.
+    Orbax checkpoints written BEFORE that commit (round ≤4 session 1) no
+    longer restore into the new state template and raise ValueError after
+    the ema_params retry below also fails. No such checkpoints survive
+    (the runs/ tree predating the change was lost to a VM recycle); if one
+    ever resurfaces, restore its weights via the portable .npz artifact
+    path instead of the orbax tree.
     """
     if not exp_dir.endswith(".npz") and not os.path.exists(
         _path(exp_dir, name)

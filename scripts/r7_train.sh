@@ -29,7 +29,10 @@ echo "r7_train start $(date)" >> $LOG
 commit_paths() {  # commit_paths <msg> <paths...>
   local msg=$1; shift
   for i in 1 2 3 4 5; do
-    git add "$@" && git commit -q -m "$msg" -- "$@" && break
+    git add "$@"
+    # nothing staged -> a no-op, not a transient failure: don't retry
+    git diff --cached --quiet -- "$@" && break
+    git commit -q -m "$msg" -- "$@" && break
     sleep 20
   done
 }

@@ -226,12 +226,18 @@ class TestPredictorTrainer:
         tr = PredictorTrainer(cfg, edm_cfg=EDMConfig(diffusion_steps=20))
         rng = np.random.default_rng(0)
         key = jax.random.PRNGKey(0)
-        l0 = tr.train_epoch(rng, key)
-        # per-epoch loss is noisy on the tiny fixture (16-mol batches of
-        # nonplanar synthetic data); compare a late-epoch average instead
-        # of a single epoch
-        ls = [tr.train_epoch(rng, key) for _ in range(6)]
-        assert np.mean(ls[-3:]) < l0
+        # Per-epoch training loss is dominated by the random t draws on this
+        # tiny fixture (16-mol batches, clash-rescued nonplanar geometries),
+        # so the learning assertion uses a DETERMINISTIC probe instead: the
+        # t_fix=0 train-set L1 under a fixed eval key, before vs after
+        # training. Everything (data seed, init seed, batch rng, per-epoch
+        # split keys) is seeded, so the ~0.06 margin is reproducible.
+        pre = tr.eval_epoch(tr.train_ds, jax.random.PRNGKey(42), t_fix=0.0)
+        for _ in range(10):
+            key, k = jax.random.split(key)
+            tr.train_epoch(rng, k)
+        post = tr.eval_epoch(tr.train_ds, jax.random.PRNGKey(42), t_fix=0.0)
+        assert post < pre, (pre, post)
         # fixed-t eval runs and is finite at both ends of the noise range
         v0 = tr.eval_epoch(tr.val_ds, key, t_fix=0.0)
         vT = tr.eval_epoch(tr.val_ds, key, t_fix=float(tr.T))
