@@ -68,20 +68,42 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--context-set", default="",
                    help="pin conditioning columns to raw values for the "
                         "conditional-EDM design path, e.g. 'GAP_eV=0.5'")
+    p.add_argument("--anneal", default="",
+                   help="t-dependent guidance-scale annealing: "
+                        "'linear'|'sqrt'|'cos2', optionally ':floor' "
+                        "(e.g. 'cos2:0.1') — full strength early, fading "
+                        "as geometry crystallizes near t=0. Lets "
+                        "multi-objective targets run at the reference's "
+                        "scale 0.6 without the validity collapse")
+    p.add_argument("--grad-norm-per-property", action="store_true",
+                   help="for weighted-combo targets: compute each "
+                        "property's guidance gradient separately and "
+                        "normalize to unit per-sample norm before "
+                        "weighting (stops one property's raw-unit "
+                        "gradient from drowning the others)")
     p.add_argument("--out-dir", default="best")
     p.add_argument("--platform", default="")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-workers", type=int, default=8)
+    p.add_argument("--no-warm-timing", action="store_true",
+                   help="skip the extra warm run that separates compile "
+                        "time from steady-state throughput")
     p.add_argument("--profile", default="", help="capture a jax.profiler trace to this dir")
     return p
 
 
-def make_target_function(spec: str, predictor, pred_params, prop_dist, features):
+def make_target_function(spec: str, predictor, pred_params, prop_dist, features,
+                         per_property: bool = False):
     """Build f(z, node_mask, edge_mask, t) -> [B] (minimized by guidance).
 
     Mirrors the reference's example target closures
     (generation_guidance.py:200-211): predictor output, optionally
     unnormalized, combined into a scalar score.
+
+    per_property=True (weighted-combo specs only) returns a list of
+    (weight, fn) terms instead — the guided step then normalizes each
+    term's gradient to unit per-sample norm before weighting
+    (EDM.sample_zs_given_zt_guidance).
     """
     import jax.numpy as jnp
 
@@ -90,6 +112,12 @@ def make_target_function(spec: str, predictor, pred_params, prop_dist, features)
 
     def predict(z, node_mask, edge_mask, t):
         return predictor.apply(pred_params, z, node_mask, edge_mask, t)
+
+    if per_property and (spec.startswith(("min:", "max:", "eq:"))):
+        raise SystemExit(
+            "--grad-norm-per-property applies to weighted-combo targets "
+            "(w1*F1+w2*F2); single-property targets have one gradient"
+        )
 
     if spec.startswith(("min:", "max:")):
         mode, feat = spec.split(":", 1)
@@ -128,6 +156,18 @@ def make_target_function(spec: str, predictor, pred_params, prop_dist, features)
             w = -1.0 if part.startswith("-") else 1.0
             terms.append((w, features.index(part.lstrip("-").strip())))
 
+    if per_property:
+        # per-term fns in NORMALIZED units: the per-sample gradient
+        # normalization cancels any per-property scale factor, so only the
+        # weight (and its sign) matters
+        def term_fn(i):
+            def f(z, node_mask, edge_mask, t):
+                return predict(z, node_mask, edge_mask, t)[:, i]
+
+            return f
+
+        return [(w, term_fn(i)) for w, i in terms]
+
     def f(z, node_mask, edge_mask, t):
         pred = predict(z, node_mask, edge_mask, t) * std + mean
         return sum(w * pred[:, i] for w, i in terms)
@@ -153,13 +193,39 @@ def main(argv=None):
 
     prop_dist = PropertyDistribution(pred_trainer.train_ds)
 
-    target_fn = make_target_function(
+    # scalar score fn (t=0 scoring of finished designs) is always the plain
+    # combo; the GUIDANCE target may differ (per-property terms, annealing)
+    score_fn = make_target_function(
         args.target,
         pred_trainer.model,
         pred_trainer.state.params,
         prop_dist,
         features,
     )
+    target_fn = score_fn
+    if args.grad_norm_per_property:
+        if args.solver != "ancestral":
+            raise SystemExit("--grad-norm-per-property requires the "
+                             "ancestral solver")
+        target_fn = make_target_function(
+            args.target, pred_trainer.model, pred_trainer.state.params,
+            prop_dist, features, per_property=True,
+        )
+    if args.anneal:
+        from gaudi_tpu.diffusion.priors import anneal_weight, t_annealed
+
+        mode, _, floor = args.anneal.partition(":")
+        floor = float(floor) if floor else 0.0
+        if isinstance(target_fn, list):
+            # annealing must scale the normalized per-term gradients, so it
+            # rides the weight, not the term fn (see guided-step docstring)
+            target_fn = [
+                (anneal_weight(w, mode, floor), f) for w, f in target_fn
+            ]
+        else:
+            target_fn = t_annealed(target_fn, mode, floor)
+    if isinstance(target_fn, list):
+        target_fn = tuple(target_fn)  # hashable for the sampler cache
 
     orientation = edm_cfg.dataset == "hetro"
     sampler = Sampler(edm_trainer.edm, edm_cfg.max_nodes, orientation,
@@ -186,7 +252,7 @@ def main(argv=None):
           f"(scale={args.scale}, n_nodes={args.n_nodes}, target={args.target})")
     t0 = time.time()
 
-    def draw():
+    def draw(key):
         if conditional and not args.scale:
             # pure conditional/CFG design path (polish runs inside the
             # Sampler so the context flows through)
@@ -209,53 +275,72 @@ def main(argv=None):
             solver=args.solver, solver_order=args.solver_order,
         )
 
+    def pipeline(key):
+        x, h, node_mask, edge_mask = draw(key)
+        # the pure conditional path already polished inside the Sampler
+        if args.polish and (args.scale or not conditional):
+            guide_fn = None
+            if args.polish_guide and args.polish_guide_scale:
+                from gaudi_tpu.diffusion.priors import get_prior
+
+                guide_fn = get_prior(
+                    args.polish_guide, dataset=edm_cfg.dataset,
+                    max_nodes=edm_cfg.max_nodes, orientation=orientation,
+                    norm_x=edm_trainer.edm.norm_values[0],
+                )
+
+            node_ctx = None
+            polish_edm = edm_trainer.edm
+            if conditional:
+                from gaudi_tpu.diffusion.cfg import build_context, with_cfg
+
+                node_ctx = build_context(
+                    jnp.asarray(ctx, jnp.float32), node_mask
+                )
+                # polish with the same CFG-combined score the sampler used
+                if args.cfg_weight:
+                    polish_edm = with_cfg(edm_trainer.edm, args.cfg_weight)
+
+            @jax.jit
+            def _polish(params, key, x, h):
+                return polish_edm.polish(
+                    params, key, x, h, node_mask, edge_mask,
+                    t_start=args.polish_t, rounds=args.polish,
+                    noise_scale=args.polish_noise, t_decay=args.polish_decay,
+                    guide_fn=guide_fn, guide_scale=args.polish_guide_scale,
+                    context=node_ctx,
+                )
+
+            x, h = _polish(
+                edm_trainer.sampling_params,
+                jax.random.fold_in(key, 7), x, h,
+            )
+        jax.block_until_ready(x)
+        return x, h, node_mask, edge_mask
+
     if args.profile:
         from gaudi_tpu.utils.profiling import device_trace
 
         with device_trace(args.profile):
-            x, h, node_mask, edge_mask = draw()
-            jax.block_until_ready(x)
+            x, h, node_mask, edge_mask = pipeline(key)
     else:
-        x, h, node_mask, edge_mask = draw()
-    # the pure conditional path already polished inside the Sampler
-    if args.polish and (args.scale or not conditional):
-        guide_fn = None
-        if args.polish_guide and args.polish_guide_scale:
-            from gaudi_tpu.diffusion.priors import get_prior
-
-            guide_fn = get_prior(
-                args.polish_guide, dataset=edm_cfg.dataset,
-                max_nodes=edm_cfg.max_nodes, orientation=orientation,
-                norm_x=edm_trainer.edm.norm_values[0],
-            )
-
-        node_ctx = None
-        polish_edm = edm_trainer.edm
-        if conditional:
-            from gaudi_tpu.diffusion.cfg import build_context, with_cfg
-
-            node_ctx = build_context(jnp.asarray(ctx, jnp.float32), node_mask)
-            # polish with the same CFG-combined score the sampler used
-            if args.cfg_weight:
-                polish_edm = with_cfg(edm_trainer.edm, args.cfg_weight)
-
-        @jax.jit
-        def _polish(params, key, x, h):
-            return polish_edm.polish(
-                params, key, x, h, node_mask, edge_mask,
-                t_start=args.polish_t, rounds=args.polish,
-                noise_scale=args.polish_noise, t_decay=args.polish_decay,
-                guide_fn=guide_fn, guide_scale=args.polish_guide_scale,
-                context=node_ctx,
-            )
-
-        x, h = _polish(
-            edm_trainer.sampling_params, jax.random.PRNGKey(args.seed + 7), x, h
-        )
-    jax.block_until_ready(x)
+        x, h, node_mask, edge_mask = pipeline(key)
     gen_secs = time.time() - t0
     print(f"generated {args.batch_size} molecules in {gen_secs:.2f}s "
           f"({args.batch_size/gen_secs:.1f} mol/s)")
+
+    # Cold/warm split (first call pays the XLA compile; steady-state
+    # throughput is what a serve deployment sees): one extra warm run on a
+    # fresh key — its samples are discarded, only the wall-clock is kept.
+    warm_secs = warm_mol_per_s = compile_s = None
+    if not args.no_warm_timing and not args.profile:
+        tw = time.time()
+        pipeline(jax.random.PRNGKey(args.seed + 1009))
+        warm_secs = time.time() - tw
+        warm_mol_per_s = args.batch_size / warm_secs
+        compile_s = max(gen_secs - warm_secs, 0.0)
+        print(f"warm run: {warm_secs:.2f}s ({warm_mol_per_s:.1f} mol/s "
+              f"steady-state; compile+first-run overhead {compile_s:.1f}s)")
 
     # score at t=0 (reference predict/get_target_function_values, :33-66)
     @jax.jit
@@ -263,7 +348,7 @@ def main(argv=None):
         xs, hs, _ = edm_trainer.edm.normalize(x, h, node_mask)
         z = jnp.concatenate([xs, hs], axis=-1)
         t = jnp.zeros((x.shape[0], 1))
-        values = target_fn(z, node_mask, edge_mask, t)
+        values = score_fn(z, node_mask, edge_mask, t)
         pred = pred_trainer.model.apply(
             pred_trainer.state.params, z, node_mask, edge_mask, t
         )
@@ -306,20 +391,28 @@ def main(argv=None):
             mols[i][0], mols[i][1], f"{run_dir}/{rank}.png",
             dataset=edm_cfg.dataset, title=title,
         )
-        # molecule-level (atom graph) drawing of each top pick — the
-        # reference draws every top-5 molecule as an RDKit structure next
-        # to its ring graph (generation_guidance.py:173-179)
+        # molecule-level drawing of each top pick — the reference draws
+        # every top-5 molecule as an RDKit structure next to its ring
+        # graph (generation_guidance.py:159-179). RDKit Draw when rdkit is
+        # importable; the matplotlib atom-graph rendering otherwise.
         try:
-            from gaudi_tpu.eval_chem.gor2goa import gor2goa
-            from gaudi_tpu.utils.plotting import plot_molecule_atoms
+            from gaudi_tpu.utils.plotting import plot_rdkit
 
-            pos2, atom_types, bonds = gor2goa(
-                mols[i][0], mols[i][1], dataset=edm_cfg.dataset
-            )
-            plot_molecule_atoms(
-                pos2, atom_types, bonds, f"{run_dir}/mol_{rank}.png",
+            drew = plot_rdkit(
+                mols[i][0], mols[i][1], f"{run_dir}/mol_{rank}.png",
                 dataset=edm_cfg.dataset, title=title,
             )
+            if not drew:
+                from gaudi_tpu.eval_chem.gor2goa import gor2goa
+                from gaudi_tpu.utils.plotting import plot_molecule_atoms
+
+                pos2, atom_types, bonds = gor2goa(
+                    mols[i][0], mols[i][1], dataset=edm_cfg.dataset
+                )
+                plot_molecule_atoms(
+                    pos2, atom_types, bonds, f"{run_dir}/mol_{rank}.png",
+                    dataset=edm_cfg.dataset, title=title,
+                )
         except Exception:
             pass  # invalid geometry: ring plot above still saved
         results.append({"target": float(values[i]), "pred": pred_un[i].tolist()})
@@ -347,6 +440,8 @@ def main(argv=None):
 
     return {
         "gen_seconds": gen_secs,
+        "compile_s": compile_s,
+        "warm_mol_per_s": warm_mol_per_s,
         "mol_valid": cd["mol_valid"],
         "mean_target": float(values.mean()),
         "top": results,

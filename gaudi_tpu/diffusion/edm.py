@@ -390,6 +390,14 @@ class EDM:
         clipping, CoM projection of the coordinate gradient, and a final CoM
         projection + NaN scrub of z_s. `context` conditions the denoiser
         (conditional EDM); the guidance energy itself is context-free.
+
+        `target_function` may instead be a sequence of (weight, fn) terms:
+        then each term's gradient is computed separately, normalized to unit
+        per-sample norm, and combined by weight before the usual clip. This
+        per-property gradient normalization stops one property's gradient
+        magnitude from drowning the others in multi-objective targets (the
+        reference's OPV combo sums raw-unit gradients whose scales differ
+        by the property std, generation_guidance.py:205-211).
         """
         mu, sigma = self._posterior_mu_sigma(
             params, zt, s, t, node_mask, edge_mask, context
@@ -399,10 +407,21 @@ class EDM:
         )
         zs = mu + sigma * eps
 
-        def energy(z):
-            return scale * target_function(z, node_mask, edge_mask, t).sum()
+        if isinstance(target_function, (list, tuple)):
+            # Per-term weights may be callables of t (guidance annealing has
+            # to scale the NORMALIZED gradient — wrapping the term fn would
+            # be cancelled by the unit-normalization below).
+            grad = jnp.zeros_like(zs)
+            for w, fn in target_function:
+                g = jax.grad(lambda z, f=fn: f(z, node_mask, edge_mask, t).sum())(zs)
+                gn = jnp.sqrt(jnp.sum(g**2, axis=(1, 2), keepdims=True))
+                wt = w(t)[:, :, None] if callable(w) else w
+                grad = grad + scale * wt * g / (gn + 1e-6)
+        else:
+            def energy(z):
+                return scale * target_function(z, node_mask, edge_mask, t).sum()
 
-        grad = jax.grad(energy)(zs)
+            grad = jax.grad(energy)(zs)
 
         # Per-sample grad-norm clip to max_grad_norm (en_diffusion.py:905-909).
         grad_norm = jnp.sqrt(jnp.sum(grad**2, axis=(1, 2)))

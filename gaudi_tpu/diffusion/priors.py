@@ -214,3 +214,62 @@ def t_windowed(fn, t_max: float):
         return w * fn(z, node_mask, edge_mask, t)
 
     return wrapped
+
+
+def t_annealed(fn, mode: str, floor: float = 0.0):
+    """Scale a guidance target by a t-dependent factor (guidance annealing).
+
+    The inverse of `t_windowed`: full strength early in the reverse process
+    (t ~ 1, where guidance steers topology cheaply) and fading toward t = 0,
+    where geometry crystallizes and strong multi-property gradients drag
+    samples off-manifold (measured: the reference's 5-term OPV combo at its
+    own scale 0.6, generation_guidance.py:189-211, collapses validity to
+    ~63% unannealed; see QUALITY.md round 5). Because the guided step's
+    energy is scale * sum(fn), multiplying fn by the factor anneals the
+    EFFECTIVE scale without touching the engine.
+
+    Modes (t is the schedule fraction in [0, 1]):
+      linear  factor = t
+      sqrt    factor = sqrt(t)          (gentler fade)
+      cos2    factor = sin^2(pi/2 * t)  (smooth at both ends)
+    `floor` lower-bounds the factor so guidance never fully vanishes.
+    """
+    factor = _anneal_factor(mode, floor)
+
+    def wrapped(z, node_mask, edge_mask, t):
+        return factor(t[:, 0]).astype(z.dtype) * fn(z, node_mask, edge_mask, t)
+
+    return wrapped
+
+
+def _anneal_factor(mode: str, floor: float):
+    import jax.numpy as jnp
+
+    def factor(tt):
+        if mode == "linear":
+            f = tt
+        elif mode == "sqrt":
+            f = jnp.sqrt(tt)
+        elif mode == "cos2":
+            f = jnp.sin(jnp.pi / 2.0 * tt) ** 2
+        else:
+            raise ValueError(f"unknown anneal mode {mode!r}")
+        return jnp.maximum(f, floor)
+
+    return factor
+
+
+def anneal_weight(w: float, mode: str, floor: float = 0.0):
+    """Annealed per-term guidance weight: callable t -> [B, 1] factor * w.
+
+    Used with the per-property-normalized guidance terms
+    (EDM.sample_zs_given_zt_guidance): there the annealing must multiply
+    the unit-normalized gradient — wrapping the term fn instead would be
+    cancelled by the normalization.
+    """
+    factor = _anneal_factor(mode, floor)
+
+    def weight(t):
+        return w * factor(t)
+
+    return weight

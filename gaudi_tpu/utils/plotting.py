@@ -169,6 +169,57 @@ def plot_graph_of_rings_3d(
     plt.close(fig)
 
 
+def plot_rdkit(positions, ring_type_idx, filename: str, dataset="cata",
+               tol: float = 0.1, title: str = "", add_inchi: bool = False):
+    """RDKit structure rendering of a generated ring graph.
+
+    Reference `plot_rdkit` (utils/plotting.py:111-145, called from
+    generation_guidance.py:159-179): GOR->GOA, InChI via the validity
+    judge, Chem.MolFromInchi, Draw.MolToImage into a matplotlib axis.
+    Returns True when the drawing landed; False when RDKit is absent, the
+    molecule has no valid InChI, or matplotlib is unavailable — callers
+    fall back to `plot_molecule_atoms` (the always-available atom-graph
+    rendering).
+    """
+    from gaudi_tpu.eval_chem.valence import rdkit_chem, try_rdkit_inchi
+
+    Chem = rdkit_chem()
+    plt = _mpl()
+    if Chem is None or plt is None:
+        return False
+    from gaudi_tpu.eval_chem.gor2goa import gor2goa
+
+    try:
+        _, atom_types, bonds = gor2goa(
+            np.asarray(positions), np.asarray(ring_type_idx), dataset, tol
+        )
+    except Exception:
+        return False
+    inchi = try_rdkit_inchi(atom_types, bonds, dataset)
+    if inchi is None:
+        return False
+    mol = Chem.MolFromInchi(inchi)
+    if mol is None:
+        return False
+    try:
+        from rdkit.Chem import Draw
+
+        img = Draw.MolToImage(mol)
+    except Exception:
+        return False
+    if add_inchi:
+        title = (title + "\n" + inchi) if title else inchi
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.imshow(img)
+    ax.set_title(title, fontsize=10)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+    fig.savefig(filename, bbox_inches="tight", pad_inches=0.0)
+    plt.close(fig)
+    return True
+
+
 def plot_molecule_atoms(positions, atom_type_idx, bonds, filename: str, dataset="cata", title=""):
     """Atom-graph rendering of a GOR->GOA conversion (stand-in for the
     reference's RDKit drawing, utils/plotting.py:111-145, which needs RDKit)."""

@@ -136,6 +136,33 @@ class TestCLI:
         )
         assert np.isfinite(out["mean_target"])
 
+    def test_generate_normalized_annealed_combo(self, trained):
+        """Per-property gradient normalization + cos2 annealing through the
+        full CLI path (the round-5 production recipe for multi-objective
+        targets at the reference's scale 0.6); also checks the cold/warm
+        timing split lands in the result."""
+        out = generate.main(
+            ["--edm-dir", f"{trained}/summary/edm",
+             "--predictor-dir", f"{trained}/psummary/pred",
+             "--batch-size", "8", "--scale", "0.6", "--n-nodes", "5",
+             "--target", "1*GAP_eV+-0.5*HOMO_eV",
+             "--grad-norm-per-property", "--anneal", "cos2:0.05",
+             "--out-dir", f"{trained}/best"]
+        )
+        assert np.isfinite(out["mean_target"])
+        assert out["warm_mol_per_s"] and out["warm_mol_per_s"] > 0
+        assert out["compile_s"] is not None
+
+    def test_generate_per_property_rejects_single_target(self, trained):
+        with pytest.raises(SystemExit):
+            generate.main(
+                ["--edm-dir", f"{trained}/summary/edm",
+                 "--predictor-dir", f"{trained}/psummary/pred",
+                 "--batch-size", "4", "--n-nodes", "5",
+                 "--target", "min:GAP_eV", "--grad-norm-per-property",
+                 "--out-dir", f"{trained}/best"]
+            )
+
     def test_export_artifact_is_self_contained(self, trained, tmp_path):
         """export_params → artifact dir that samples correctly even when
         csv_file points at a path that no longer exists (the post-VM-recycle

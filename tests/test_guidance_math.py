@@ -151,3 +151,96 @@ class TestGuidanceParity:
         grad = edm._project_z(grad, nm)
         want = jnp.nan_to_num(edm._project_z(zs - sigma * grad, nm), nan=0.0)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+class TestPerPropertyNormalization:
+    """Multi-term guidance: per-term unit-normalized gradients + annealed
+    weights (round-5 additions for the OPV combo at reference scale 0.6)."""
+
+    def _common(self):
+        edm, in_nf = _setup()
+        b, n = 2, 4
+        counts = jnp.array([4, 3])
+        nm, em = M.build_masks(counts, n)
+        zt = M.sample_combined_noise(jax.random.PRNGKey(3), b, n, 3, in_nf, nm)
+        s = jnp.full((b, 1), 0.3)
+        t = jnp.full((b, 1), 0.32)
+        return edm, in_nf, b, n, nm, em, zt, s, t
+
+    def test_terms_combine_unit_normalized(self):
+        edm, in_nf, b, n, nm, em, zt, s, t = self._common()
+
+        f1 = lambda z, *a: (z**2).reshape(b, -1).sum(-1)
+        f2 = lambda z, *a: z.reshape(b, -1).sum(-1)
+        key = jax.random.PRNGKey(5)
+        got = edm.sample_zs_given_zt_guidance(
+            None, key, s, t, zt, nm, em, ((1.0, f1), (3.0, f2)), scale=0.5
+        )
+
+        mu, sigma = edm._posterior_mu_sigma(None, zt, s, t, nm, em, None)
+        eps = M.sample_combined_noise(key, b, n, 3, in_nf, nm)
+        zs = mu + sigma * eps
+        grad = jnp.zeros_like(zs)
+        for w, f in ((1.0, f1), (3.0, f2)):
+            g = jax.grad(lambda z: f(z).sum())(zs)
+            gn = jnp.sqrt(jnp.sum(g**2, axis=(1, 2), keepdims=True))
+            grad = grad + 0.5 * w * g / (gn + 1e-6)
+        gn = jnp.sqrt(jnp.sum(grad**2, axis=(1, 2)))
+        grad = grad * jnp.minimum(10.0 / (gn + 1e-6), 1.0)[:, None, None]
+        grad = edm._project_z(grad, nm)
+        want = jnp.nan_to_num(edm._project_z(zs - sigma * grad, nm), nan=0.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_annealed_weight_at_t0_is_unguided(self):
+        """With linear annealing the guided step at t=0 must equal the plain
+        posterior step — geometry near t=0 is left to the model."""
+        from gaudi_tpu.diffusion.priors import anneal_weight
+
+        edm, in_nf, b, n, nm, em, zt, _, _ = self._common()
+        s = jnp.full((b, 1), 0.0)
+        t = jnp.full((b, 1), 0.0)
+
+        f1 = lambda z, *a: (z**2).reshape(b, -1).sum(-1)
+        key = jax.random.PRNGKey(11)
+        guided = edm.sample_zs_given_zt_guidance(
+            None, key, s, t, zt, nm, em,
+            ((anneal_weight(5.0, "linear"), f1),), scale=1.0,
+        )
+        plain = edm.sample_zs_given_zt(None, key, s, t, zt, nm, em)
+        np.testing.assert_allclose(
+            np.asarray(guided), np.asarray(plain), atol=1e-6
+        )
+
+    def test_anneal_weight_scales_normalized_grad(self):
+        """At mid-schedule t the annealed weight must multiply the
+        unit-normalized gradient by w * factor(t)."""
+        from gaudi_tpu.diffusion.priors import anneal_weight
+
+        edm, in_nf, b, n, nm, em, zt, s, t = self._common()
+        f1 = lambda z, *a: (z**2).reshape(b, -1).sum(-1)
+        key = jax.random.PRNGKey(13)
+        got = edm.sample_zs_given_zt_guidance(
+            None, key, s, t, zt, nm, em,
+            ((anneal_weight(2.0, "linear"), f1),), scale=1.0,
+        )
+        # same update with the pre-multiplied constant weight 2.0 * t
+        wt = 2.0 * float(t[0, 0])
+        want = edm.sample_zs_given_zt_guidance(
+            None, key, s, t, zt, nm, em, ((wt, f1),), scale=1.0
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_t_annealed_single_fn(self):
+        """t_annealed on a scalar target scales the (pre-clip) gradient."""
+        from gaudi_tpu.diffusion.priors import t_annealed
+
+        edm, in_nf, b, n, nm, em, zt, s, t = self._common()
+        f1 = lambda z, nm_, em_, tt: (z**2).reshape(b, -1).sum(-1)
+        key = jax.random.PRNGKey(17)
+        got = edm.sample_zs_given_zt_guidance(
+            None, key, s, t, zt, nm, em, t_annealed(f1, "linear"), scale=1.0
+        )
+        want = edm.sample_zs_given_zt_guidance(
+            None, key, s, t, zt, nm, em, f1, scale=float(t[0, 0])
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

@@ -20,6 +20,7 @@ structure RDKit would sanitize.
 
 from __future__ import annotations
 
+import os
 import sys
 import types
 
@@ -241,3 +242,85 @@ class TestMetricsRdkitBackend:
             [benz, naph], dataset="cata", train_identities=train_ids
         )
         assert d["mol_novel"] == pytest.approx(1 / 2)
+
+
+# ---------------------------------------------------------------------------
+# RDKit-Draw rendering arm (utils/plotting.plot_rdkit — the reference's
+# plot_rdkit, utils/plotting.py:111-145, used at generation_guidance.py:159-179)
+# ---------------------------------------------------------------------------
+
+def make_draw_stub():
+    """make_stub() extended with importable rdkit.Chem(.Draw) submodules —
+    plot_rdkit does `from rdkit.Chem import Draw`, which needs real module
+    objects in sys.modules, not namespace attributes."""
+    base = make_stub()
+    chem_mod = types.ModuleType("rdkit.Chem")
+    for k, v in vars(base.Chem).items():
+        setattr(chem_mod, k, v)
+
+    def MolFromInchi(inchi):
+        assert inchi.startswith("StubInChI="), inchi
+        return ("parsed", inchi)
+
+    chem_mod.MolFromInchi = MolFromInchi
+    draw_mod = types.ModuleType("rdkit.Chem.Draw")
+    calls = {"img": 0}
+
+    def MolToImage(mol):
+        assert mol[0] == "parsed"
+        calls["img"] += 1
+        return np.zeros((8, 8, 3), np.uint8)
+
+    draw_mod.MolToImage = MolToImage
+    chem_mod.Draw = draw_mod
+    rdkit = types.ModuleType("rdkit")
+    rdkit.Chem = chem_mod
+    rdkit._draw_calls = calls
+    return rdkit
+
+
+@pytest.fixture
+def stub_rdkit_draw(monkeypatch):
+    rdkit = make_draw_stub()
+    monkeypatch.setitem(sys.modules, "rdkit", rdkit)
+    monkeypatch.setitem(sys.modules, "rdkit.Chem", rdkit.Chem)
+    monkeypatch.setitem(sys.modules, "rdkit.Chem.Draw", rdkit.Chem.Draw)
+    monkeypatch.setattr(valence, "_RDKIT_CHEM", None)
+    yield rdkit
+    valence._RDKIT_CHEM = None
+
+
+class TestPlotRdkit:
+    def test_draws_benzene_structure(self, stub_rdkit_draw, tmp_path):
+        from gaudi_tpu.utils.plotting import plot_rdkit
+
+        out = str(tmp_path / "mol_0.png")
+        ok = plot_rdkit(np.zeros((1, 3)), np.array([0]), out,
+                        dataset="cata", title="benzene")
+        assert ok is True
+        assert os.path.exists(out)
+        assert stub_rdkit_draw._draw_calls["img"] == 1
+
+    def test_absent_rdkit_falls_back(self, monkeypatch, tmp_path):
+        monkeypatch.setattr(valence, "_RDKIT_CHEM", False)
+        from gaudi_tpu.utils.plotting import plot_rdkit
+
+        out = str(tmp_path / "mol_0.png")
+        ok = plot_rdkit(np.zeros((1, 3)), np.array([0]), out)
+        assert ok is False
+        assert not os.path.exists(out)
+
+    def test_invalid_molecule_returns_false(self, stub_rdkit_draw, tmp_path,
+                                            monkeypatch):
+        """A molecule the judge rejects (no InChI) must decline the Draw
+        arm so the caller can fall back to the atom-graph rendering."""
+        import gaudi_tpu.utils.plotting as plotting
+
+        monkeypatch.setattr(
+            "gaudi_tpu.eval_chem.valence.try_rdkit_inchi",
+            lambda *a, **k: None,
+        )
+        out = str(tmp_path / "mol_bad.png")
+        ok = plotting.plot_rdkit(_chain(2), np.zeros(2, np.int64), out)
+        assert ok is False
+        assert not os.path.exists(out)
