@@ -137,3 +137,43 @@ def draw_context(trainer, counts, rng, context_set: str = ""):
                     raw = (raw - trainer.train_ds.mean[ti]) / trainer.train_ds.std[ti]
                 ctx[:, j] = raw
     return ctx
+
+
+def holdout_identity_set(csv_path: str, dataset: str, n_workers: int = 0):
+    """Chemical-identity set of every row in an identity-holdout csv.
+
+    The xyz tree is expected at <csv dir>/<dataset>-xyz (the layout
+    scripts/r10_train.sh stage A0 writes). Identities come from the same
+    judge that scores samples (eval_chem.metrics), so set membership is
+    exact. Disk-cached next to the csv — the first call pays one pass of
+    GOR->GOA + judging.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cache = csv_path + ".ids.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return set(z["ids"].tolist()) - {""}
+
+    from gaudi_tpu.data.mol import load_xyz
+    from gaudi_tpu.data.rings import extract_ring_graph
+    from gaudi_tpu.eval_chem import analyze_chemical_validity_for_molecules
+
+    xyz_root = os.path.join(os.path.dirname(csv_path), f"{dataset}-xyz")
+    df = pd.read_csv(csv_path)
+    name_col = "name" if "name" in df.columns else "molecule"
+    mols = []
+    for nm in df[name_col].astype(str):
+        path = os.path.join(xyz_root, nm + ".xyz")
+        try:
+            rg = extract_ring_graph(load_xyz(path), dataset)
+            mols.append((rg.centers, rg.ring_types))
+        except Exception:
+            continue
+    d = analyze_chemical_validity_for_molecules(
+        mols, dataset=dataset, n_workers=n_workers
+    )
+    ids = [i for i in d.get("valid_identity", []) if i]
+    np.savez_compressed(cache, ids=np.asarray(ids))  # unicode dtype: no pickle
+    return set(ids)

@@ -275,3 +275,19 @@ class TestCLI:
         )
         assert np.isfinite(res["test_loss"])
         assert os.path.exists(f"{root}/cata.csv")
+
+
+class TestHoldoutNovelty:
+    def test_holdout_identity_set_and_split_reporting(self, workspace):
+        """holdout_identity_set judges every csv row with the same identity
+        key the sample judge uses, caches to disk, and the novelty-split
+        arithmetic follows (round-5 identity-holdout evaluation)."""
+        from gaudi_tpu.cli.common import holdout_identity_set
+
+        csv = os.path.join(workspace, "cata.csv")
+        ids = holdout_identity_set(csv, "cata", n_workers=0)
+        assert len(ids) > 10           # most synthetic rows judge valid
+        assert "" not in ids
+        # cached second call is identical
+        assert holdout_identity_set(csv, "cata") == ids
+        assert os.path.exists(csv + ".ids.npz")
