@@ -108,6 +108,7 @@ def main():
         apply_fn=dynamics.apply,
         schedule=NoiseSchedule.create("polynomial_2", timesteps),
         in_node_nf=in_nf,
+        scan_unroll=int(os.environ.get("GAUDI_BENCH_UNROLL", 1)),
     )
 
     key = jax.random.PRNGKey(0)
@@ -119,8 +120,14 @@ def main():
         key, zdum, node_mask, edge_mask, jnp.zeros((batch, 1))
     )
 
+    pred_apply = predictor.apply
+    if os.environ.get("GAUDI_BENCH_REMAT"):
+        # recompute predictor activations in the guidance backward instead
+        # of storing them (measured perf experiment, PERF.md round 5)
+        pred_apply = jax.checkpoint(predictor.apply, static_argnums=())
+
     def target_fn(zt, nm, em, t):
-        return predictor.apply(pred_params, zt, nm, em, t)[:, 0]
+        return pred_apply(pred_params, zt, nm, em, t)[:, 0]
 
     solver = os.environ.get("GAUDI_BENCH_SOLVER", "ancestral")
     ode_steps = int(os.environ.get("GAUDI_BENCH_STEPS", 25))
@@ -251,11 +258,21 @@ def main_trained(art_edm: str, art_pred: str):
         )
         scale = 0.0
 
+    pred_apply = pred_model.apply
+    if os.environ.get("GAUDI_BENCH_REMAT"):
+        pred_apply = jax.checkpoint(pred_model.apply)
+
     def target_fn(zt, nm, em, t):
         # reference target_function_max_gap (generation_guidance.py:200-203)
-        return -pred_model.apply(pred_params, zt, nm, em, t)[:, 0]
+        return -pred_apply(pred_params, zt, nm, em, t)[:, 0]
 
-    sampler = Sampler(trainer.edm, cfg.max_nodes, cfg.dataset == "hetro",
+    import dataclasses as _dc
+
+    bench_edm = _dc.replace(
+        trainer.edm,
+        scan_unroll=int(os.environ.get("GAUDI_BENCH_UNROLL", 1)),
+    )
+    sampler = Sampler(bench_edm, cfg.max_nodes, cfg.dataset == "hetro",
                       dataset=cfg.dataset)
     fn = sampler.make_guided_sampler(
         target_fn, std=1.0,

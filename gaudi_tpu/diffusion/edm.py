@@ -70,6 +70,10 @@ class EDM:
     loss_type: str = "l2"
     norm_values: tuple = (3.0, 4.0, 10.0)
     norm_biases: tuple = (0.0, 0.0, 0.0)
+    # lax.scan unroll factor for the reverse samplers: >1 lets XLA fuse and
+    # schedule across consecutive denoise steps at the cost of program size
+    # (a measured perf knob — see PERF.md round 5; semantics identical)
+    scan_unroll: int = 1
 
     @property
     def T(self) -> int:
@@ -461,7 +465,9 @@ class EDM:
             z = step_fn(z, s_i, t_i, k)
             return z, None
 
-        z, _ = jax.lax.scan(body, z0, (s_idx, t_idx, keys))
+        z, _ = jax.lax.scan(
+            body, z0, (s_idx, t_idx, keys), unroll=max(int(self.scan_unroll), 1)
+        )
         return z
 
     def sample_xh_given_z0(
