@@ -69,7 +69,7 @@ echo "A0_SPLIT DONE $(date)" >> $LOG
 # ---------- stage A1: cata from-scratch main leg ----------
 if [ ! -f runs/r9cs/A1.done ]; then
   timeout 10800 python scripts/longrun_tpu.py --root runs/r9cs --dataset cata \
-    --max-hours 2.3 --batch-size 256 --lr 1e-3 --ema 0.9999 --seed 20 \
+    --max-hours 2.5 --batch-size 256 --lr 1e-3 --ema 0.9999 --seed 20 \
     --round-epochs 100 >> runs/r10_cata_driver.log 2>&1
   touch runs/r9cs/A1.done
 fi
