@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "U[0, t_bias_cap*T] (low-t fine-tune; 0 = uniform t)")
     p.add_argument("--t-bias-cap", type=float, default=0.1,
                    help="upper edge (fraction of T) of the biased t range")
+    p.add_argument("--planar-boost", type=float, default=0.0,
+                   help="planarity-weighted train sampling mixture weight "
+                        "(0 = reference-style shuffled epochs)")
+    p.add_argument("--planar-tau", type=float, default=0.1,
+                   help="ease-weight temperature in A of plane-fit RMS")
     p.add_argument("--context-features", default="",
                    help="comma-separated target columns to condition the "
                         "EDM on (trains a conditional model ready for "
@@ -87,6 +92,8 @@ def main(argv=None):
         ema_decay=args.ema,
         t_bias_frac=args.t_bias_frac,
         t_bias_cap=args.t_bias_cap,
+        planar_boost=args.planar_boost,
+        planar_tau=args.planar_tau,
         context_features=args.context_features,
         context_dropout=args.context_dropout,
     )

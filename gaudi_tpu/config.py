@@ -80,6 +80,20 @@ class EDMConfig:
     # loss (en_diffusion.py:702-705) exactly.
     t_bias_frac: float = 0.0
     t_bias_cap: float = 0.1
+    # Planarity-weighted train sampling (beyond reference). The reference's
+    # COMPAS-era data is duplicate-heavy and implicitly oversamples easy
+    # near-planar molecules; identity-deduplication (round-5 datasets)
+    # removes that weighting and uniform sampling over the deduped identity
+    # space — dominated by hard fjord/helicene shapes — slows raw-geometry
+    # learning dramatically (QUALITY.md round-5). planar_boost mixes the
+    # uniform epoch distribution with an ease-weighted one:
+    #   p_i ∝ (1-boost)·uniform + boost·exp(-(rms_i - rms_min)/tau)
+    # where rms_i is the per-molecule best-fit-plane RMS of the ring
+    # centers. 0.0 reproduces plain shuffled epochs (reference behavior);
+    # draws are with replacement so the holdout/novelty semantics are
+    # unchanged (train identities only).
+    planar_boost: float = 0.0
+    planar_tau: float = 0.1
     # Conditional EDM / classifier-free guidance (beyond reference: the
     # reference's context plumbing exists in its EGNN_dynamics but no live
     # config conditions the diffusion model — SURVEY §2.6). Comma-separated

@@ -333,20 +333,57 @@ class AromaticDataset:
             "y": y,
         }
 
+    def plane_rms(self) -> np.ndarray:
+        """Per-example RMS distance of the ring centers from their best-fit
+        plane (Å), computed once and cached. The smallest singular value of
+        the centered coordinates equals sqrt(sum of squared plane
+        residuals); dividing by sqrt(n) gives the RMS. Used as the molecule
+        'geometric difficulty' signal for planarity-weighted sampling
+        (config.py planar_boost)."""
+        if getattr(self, "_plane_rms", None) is None:
+            x, n = self.data["x"], self.data["n_nodes"]
+            out = np.zeros(x.shape[0], np.float32)
+            for i in range(x.shape[0]):
+                p = x[i, : n[i]].astype(np.float64)
+                p = p - p.mean(0)
+                s = np.linalg.svd(p, compute_uv=False)
+                out[i] = s[-1] / np.sqrt(max(n[i], 1))
+            self._plane_rms = out
+        return self._plane_rms
+
+    def sampling_probs(self, boost: float, tau: float) -> Optional[np.ndarray]:
+        """Mixture of uniform and ease-weighted sampling probabilities over
+        self.examples (see config.py planar_boost). None when boost == 0."""
+        if boost <= 0.0:
+            return None
+        rms = self.plane_rms()[self.examples]
+        w = np.exp(-(rms - rms.min()) / max(tau, 1e-6))
+        w = w / w.sum()
+        u = np.full(len(w), 1.0 / len(w))
+        p = (1.0 - boost) * u + boost * w
+        return p / p.sum()
+
     def iter_batches(
         self,
         batch_size: int,
         shuffle: bool = True,
         rng: Optional[np.random.Generator] = None,
         drop_last: bool = False,
+        probs: Optional[np.ndarray] = None,
     ):
         """Yield batch dicts; final partial batch is padded by repetition to
         keep shapes static (mask-correct: repeated examples are real data,
-        callers average with the `weight` entry)."""
+        callers average with the `weight` entry). With `probs` (aligned to
+        self.examples) the epoch draws len(self) examples with replacement
+        from that distribution instead of shuffling a permutation."""
         rng = rng or np.random.default_rng(0)
-        order = self.examples.copy()
-        if shuffle:
-            rng.shuffle(order)
+        if probs is not None:
+            order = rng.choice(self.examples, size=len(self.examples),
+                               replace=True, p=probs)
+        else:
+            order = self.examples.copy()
+            if shuffle:
+                rng.shuffle(order)
         m = len(order)
         for s in range(0, m, batch_size):
             idx = order[s : s + batch_size]

@@ -181,6 +181,14 @@ class EDMTrainer:
 
         self._orientation = cfg.dataset == "hetro"
         self._max_nodes = cfg.max_nodes
+        # Planarity-weighted epoch sampling (config.py planar_boost); None
+        # for boost 0 → plain shuffled permutation epochs.
+        boost = getattr(cfg, "planar_boost", 0.0)
+        self._train_probs = (
+            self.train_ds.sampling_probs(boost, getattr(cfg, "planar_tau", 0.1))
+            if boost > 0.0
+            else None
+        )
 
         if mesh is not None:
             bs = batch_sharding(mesh)
@@ -366,7 +374,9 @@ class EDMTrainer:
 
     def train_epoch(self, epoch: int, rng: np.random.Generator, key) -> dict:
         losses, gnorms = [], []
-        for batch in self.train_ds.iter_batches(self.cfg.batch_size, rng=rng):
+        for batch in self.train_ds.iter_batches(
+            self.cfg.batch_size, rng=rng, probs=self._train_probs
+        ):
             key, sub = jax.random.split(key)
             x, h, n, w = self._batch_arrays(batch)
             self.state, metrics = self._train_step(

@@ -47,6 +47,11 @@ def main():
                     help="low-t fine-tune: fraction of each batch drawing t "
                          "from U[0, t_bias_cap*T]")
     ap.add_argument("--t-bias-cap", type=float, default=0.1)
+    ap.add_argument("--planar-boost", type=float, default=0.0,
+                    help="planarity-weighted train sampling mixture weight "
+                         "(config.py planar_boost)")
+    ap.add_argument("--planar-tau", type=float, default=0.1,
+                    help="ease-weight temperature in A of plane RMS")
     ap.add_argument("--target-features", default="GAP_eV,HOMO_eV")
     ap.add_argument("--labeled", action="store_true",
                     help="generate oracle-labeled data (keeps invalid "
@@ -128,6 +133,8 @@ def main():
         seed=args.seed,
         t_bias_frac=args.t_bias_frac,
         t_bias_cap=args.t_bias_cap,
+        planar_boost=args.planar_boost,
+        planar_tau=args.planar_tau,
     )
     trainer = EDMTrainer(cfg)
     if getattr(trainer, "_ctx_idx", None) is None and (

@@ -201,6 +201,41 @@ class TestDataset:
         for b in batches:
             assert b["x"].shape[0] == 16
 
+    def test_plane_rms_and_sampling_probs(self, cata_data):
+        cfg, (tr, _, _) = cata_data
+        rms = tr.plane_rms()
+        assert rms.shape == (tr.data["x"].shape[0],)
+        assert (rms >= 0).all() and np.isfinite(rms).all()
+        # boost=0 -> uniform shuffled epochs (None sentinel)
+        assert tr.sampling_probs(0.0, 0.1) is None
+        p = tr.sampling_probs(0.8, 0.05)
+        assert p.shape == (len(tr),)
+        np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-6)
+        # more planar molecules must never get a lower probability
+        r = rms[tr.examples]
+        order = np.argsort(r)
+        assert p[order[0]] >= p[order[-1]]
+        # mixture keeps a uniform floor: nothing below (1-boost)/n
+        assert p.min() >= (1 - 0.8) / len(p) * (1 - 1e-9)
+
+    def test_iter_batches_weighted_draw(self, cata_data):
+        """probs drives the epoch draw (with replacement) while keeping
+        epoch length and static batch shapes unchanged."""
+        cfg, (tr, _, _) = cata_data
+        p = tr.sampling_probs(0.9, 0.02)
+        batches = list(tr.iter_batches(16, rng=np.random.default_rng(0), probs=p))
+        total = sum(int((b["weight"] > 0).sum()) for b in batches)
+        assert total == len(tr)
+        for b in batches:
+            assert b["x"].shape == (16, 11, 3)
+        # a delta distribution must reproduce exactly one example everywhere
+        delta = np.zeros(len(tr))
+        delta[3] = 1.0
+        b = next(tr.iter_batches(8, rng=np.random.default_rng(1), probs=delta))
+        want = tr.collate(np.repeat(tr.examples[3], 8), np.random.default_rng(2))
+        np.testing.assert_array_equal(b["n_nodes"], want["n_nodes"])
+        np.testing.assert_array_equal(b["h"], want["h"])
+
     def test_cache_reuse(self, cata_data):
         cfg, (tr, _, _) = cata_data
         # second construction must hit the npz cache and produce same data
