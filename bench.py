@@ -108,7 +108,7 @@ def main():
         apply_fn=dynamics.apply,
         schedule=NoiseSchedule.create("polynomial_2", timesteps),
         in_node_nf=in_nf,
-        scan_unroll=int(os.environ.get("GAUDI_BENCH_UNROLL", 1)),
+        scan_unroll=int(os.environ.get("GAUDI_BENCH_UNROLL", 4)),
     )
 
     key = jax.random.PRNGKey(0)
@@ -270,7 +270,7 @@ def main_trained(art_edm: str, art_pred: str):
 
     bench_edm = _dc.replace(
         trainer.edm,
-        scan_unroll=int(os.environ.get("GAUDI_BENCH_UNROLL", 1)),
+        scan_unroll=int(os.environ.get("GAUDI_BENCH_UNROLL", 4)),
     )
     sampler = Sampler(bench_edm, cfg.max_nodes, cfg.dataset == "hetro",
                       dataset=cfg.dataset)
